@@ -1,0 +1,52 @@
+"""Config loader: reads the engine config directory (layer YAMLs, rank
+CSVs, post-process pipeline) into a CompiledConfig — the driver-side
+"query compile" step (ref:load.go:53-128; ~10x win in the reference,
+free here because Columns are generated once and codegen'd).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import yaml
+
+from osmzen_spark.compiler.layer import CompiledLayer, load_layer
+from osmzen_spark.pipeline.matcher import CSVMatcher
+
+DEFAULT_CONFIG_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "config")
+
+
+@dataclass
+class PostProcessStep:
+    fn: str
+    params: dict = field(default_factory=dict)
+
+
+@dataclass
+class CompiledConfig:
+    layers: dict[str, CompiledLayer]
+    postprocess: list[PostProcessStep]
+    config_dir: str
+
+    def layer(self, name: str) -> CompiledLayer:
+        return self.layers[name]
+
+
+def load_config(config_dir: str | None = None) -> CompiledConfig:
+    config_dir = config_dir or DEFAULT_CONFIG_DIR
+    with open(os.path.join(config_dir, "engine.yaml")) as f:
+        engine = yaml.safe_load(f)
+
+    layers: dict[str, CompiledLayer] = {}
+    for name in engine["layers"]:
+        layers[name] = load_layer(os.path.join(config_dir, "layers", f"{name}.yaml"), name=name)
+
+    steps: list[PostProcessStep] = []
+    for entry in engine.get("postprocess", []):
+        params = dict(entry.get("params", {}))
+        if "csv" in params:
+            params["matcher"] = CSVMatcher.from_path(os.path.join(config_dir, params.pop("csv")))
+        steps.append(PostProcessStep(fn=entry["fn"], params=params))
+
+    return CompiledConfig(layers=layers, postprocess=steps, config_dir=config_dir)

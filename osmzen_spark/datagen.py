@@ -1,0 +1,159 @@
+"""Deterministic synthetic input tables, derived from the driver's
+parquet tables (TESTDATA.md) — no external data, reproducible at any
+scale factor, pure Column math (no UDFs, no RNG).
+
+* ``synthetic_elements``   — OSM-tagged elements (tags map + polygon/
+  point geometry) in the FIXTURES.md §1 shape, one per lineitem row.
+* ``synthetic_images``     — image+caption payload table in the driver
+  input_hint shape (image_id, bytes, w, h, fmt, caption, phash); bytes
+  are a deterministic raw-RGB byte string (fmt='raw'), so the
+  decoded-pixel invariant is exact (PSNR = inf) without image codecs.
+
+Element classes cycle deterministically (key mod N): buildings with
+levels (polygon), parking garages, restaurants with cuisine, parks,
+waterfalls with heights, hotels, supermarkets, schools, entrances,
+address points — chosen to exercise the implemented rule set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# meters per degree latitude (approx, only used to size synthetic polygons)
+_M_PER_DEG = 111320.0
+
+
+def _square_geometry(lon, lat, side_m):
+    """Axis-aligned closed square (Polygon) around (lon, lat)."""
+    dlat = side_m / F.lit(2.0 * _M_PER_DEG)
+    dlon = side_m / (F.lit(2.0 * _M_PER_DEG) * F.cos(F.radians(lat)))
+    return F.struct(
+        F.array(lon - dlon, lon + dlon, lon + dlon, lon - dlon, lon - dlon).alias("xs"),
+        F.array(lat - dlat, lat - dlat, lat + dlat, lat + dlat, lat - dlat).alias("ys"),
+        F.array(F.lit(5)).alias("ring_lens"),
+        F.array(F.lit(0)).alias("ring_roles"),
+    )
+
+
+def _point_geometry(lon, lat):
+    return F.struct(
+        F.array(lon).alias("xs"),
+        F.array(lat).alias("ys"),
+        F.array(F.lit(1)).alias("ring_lens"),
+        F.array(F.lit(0)).alias("ring_roles"),
+    )
+
+
+def synthetic_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One element per lineitem row; all attributes are deterministic
+    functions of (l_orderkey, l_linenumber)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    key = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long")
+
+    df = li.select(
+        key.alias("element_id"),
+        F.pmod(key * 9973, F.lit(360_000_000)).alias("_lon_m"),
+        F.pmod(key * 7919, F.lit(150_000_000)).alias("_lat_m"),
+        F.pmod(key, F.lit(10)).cast("int").alias("cls"),
+        F.pmod(key, F.lit(25)).cast("int").alias("lvl"),
+        (F.pmod(key, F.lit(140)) + 10).cast("int").alias("side"),
+    )
+    lon = (F.col("_lon_m") / 1_000_000.0 - 180.0).alias("lon")
+    lat = (F.col("_lat_m") / 1_000_000.0 - 75.0).alias("lat")
+    df = df.select("element_id", "cls", "lvl", "side", lon, lat)
+
+    lon, lat = F.col("lon"), F.col("lat")
+    cls = F.col("cls")
+    lvl_s = (F.col("lvl") + 1).cast("string")
+    side = F.col("side").cast("double")
+    name = F.concat(F.lit("feature "), F.col("element_id").cast("string"))
+
+    is_polygon = cls.isin(0, 1, 2, 3)  # buildings / parking / park / school
+    tags = (
+        F.when(cls == 0, F.create_map(
+            F.lit("building"), F.lit("yes"),
+            F.lit("building:levels"), lvl_s,
+            F.lit("name"), name,
+        ))
+        .when(cls == 1, F.create_map(
+            F.lit("building"), F.lit("yes"),
+            F.lit("amenity"), F.lit("parking"),
+            F.lit("parking"), F.lit("multi-storey"),
+            F.lit("building:levels"), lvl_s,
+        ))
+        .when(cls == 2, F.create_map(
+            F.lit("leisure"), F.lit("park"),
+            F.lit("name"), name,
+        ))
+        .when(cls == 3, F.create_map(
+            F.lit("amenity"), F.lit("school"),
+            F.lit("building"), F.lit("yes"),
+            F.lit("name"), name,
+        ))
+        .when(cls == 4, F.create_map(
+            F.lit("amenity"), F.lit("restaurant"),
+            F.lit("cuisine"), F.lit("pizza"),
+            F.lit("name"), name,
+        ))
+        .when(cls == 5, F.create_map(
+            F.lit("waterway"), F.lit("waterfall"),
+            F.lit("height"), F.concat((F.col("lvl") * 20 + 1).cast("string"), F.lit("m")),
+            F.lit("name"), name,
+        ))
+        .when(cls == 6, F.create_map(
+            F.lit("tourism"), F.lit("hotel"),
+            F.lit("name"), name,
+        ))
+        .when(cls == 7, F.create_map(
+            F.lit("shop"), F.lit("supermarket"),
+            F.lit("name"), name,
+        ))
+        .when(cls == 8, F.create_map(
+            F.lit("entrance"), F.lit("main"),
+        ))
+        .otherwise(F.create_map(
+            F.lit("addr:housenumber"), lvl_s,
+            F.lit("addr:street"), F.lit("Main Street"),
+        ))
+    )
+
+    geometry = F.when(is_polygon, _square_geometry(lon, lat, side)).otherwise(
+        _point_geometry(lon, lat)
+    )
+    geom_type = F.when(is_polygon, F.lit("Polygon")).otherwise(F.lit("Point"))
+
+    return df.select(
+        "element_id",
+        F.when(is_polygon, F.lit("way")).otherwise(F.lit("node")).alias("element_type"),
+        tags.alias("tags"),
+        geom_type.alias("geom_type"),
+        geometry.alias("geometry"),
+        "lon",
+        "lat",
+    )
+
+
+def synthetic_images(spark: SparkSession, sf_dir: str, w: int = 8, h: int = 8) -> DataFrame:
+    """Payload table (input_hint shape). bytes = deterministic raw RGB
+    derived from the id — decodable without codecs (fmt='raw': w*h*3
+    bytes, row-major). Caption is a deterministic string."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    key = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long")
+    seed = F.pmod(key * 6364136223846793005 + 1442695040888963407, F.lit(2**31)).cast("int")
+    # w*h*3 bytes: repeat a 3-byte deterministic pixel
+    pixel = F.concat(
+        F.chr(F.pmod(seed, F.lit(256))),
+        F.chr(F.pmod(seed / 256, F.lit(256)).cast("int")),
+        F.chr(F.pmod(seed / 65536, F.lit(256)).cast("int")),
+    )
+    return li.select(
+        F.concat(F.lit("img-"), key.cast("string")).alias("image_id"),
+        F.encode(F.repeat(pixel, w * h), "ISO-8859-1").cast("binary").alias("bytes"),
+        F.lit(w).alias("w"),
+        F.lit(h).alias("h"),
+        F.lit("raw").alias("fmt"),
+        F.concat(F.lit("caption for element "), key.cast("string")).alias("caption"),
+        key.alias("phash"),
+        key.alias("element_id"),
+    )
