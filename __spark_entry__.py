@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      — flagship: full osmzen normalize + tile pipeline over a
+               deterministic synthetic elements table derived from
+               sf0.001 lineitem (datagen), all layers unioned.
+queries()    — operator coverage from SURVEY.md §2.H + training-data
+               ops, each with a DuckDB oracle in oracle_sql() unless
+               marked rows-only (hash-based ops DuckDB can't replicate).
+oracle_sql() — ANSI-SQL twins. Column names/aliases match exactly;
+               money aggregates go through DECIMAL so sums are
+               order-independent and hash-stable across engines.
 """
 
 from __future__ import annotations
@@ -12,27 +16,587 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+# ---------------------------------------------------------------- helpers
+
+def _lineitem(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def _read(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _customer_points(spark, sf_dir):
+    """Deterministic lon/lat per customer (same arithmetic as the SQL
+    oracles): lon in [-180,180), lat in [-75,75)."""
+    c = _read(spark, sf_dir, "customer")
+    lon = (F.pmod(F.col("c_custkey") * 2654435761, F.lit(360000000)) / 1000000.0 - 180.0).alias("lon")
+    lat = (F.pmod(F.col("c_custkey") * 2246822519, F.lit(150000000)) / 1000000.0 - 75.0).alias("lat")
+    return c.select(F.col("c_custkey").alias("id"), lon, lat)
+
+
+_CUSTOMER_POINTS_SQL = """
+SELECT c_custkey AS id,
+       (c_custkey * 2654435761) % 360000000 / 1000000.0 - 180.0 AS lon,
+       (c_custkey * 2246822519) % 150000000 / 1000000.0 - 75.0  AS lat
+FROM customer
+"""
+
+
+# ---------------------------------------------------------------- queries
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan+filter+groupBy agg (map-side combine)."""
+    li = _lineitem(spark, sf_dir)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("decimal(38,2)").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(14,2)")).cast("decimal(38,2)").alias("sum_base_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_first_match_classify(spark, sf_dir):
+    """First-match rule chain over part attributes — the relational
+    skeleton of the layer rule engine (ordered CASE, first wins)."""
+    p = _read(spark, sf_dir, "part")
+    kind = (
+        F.when(F.col("p_type").startswith("PROMO") & (F.col("p_size") >= 40), F.lit("promo_large"))
+        .when(F.col("p_type").startswith("PROMO"), F.lit("promo"))
+        .when(F.col("p_type").contains("BRASS") & (F.col("p_size") >= 30), F.lit("brass_large"))
+        .when(F.col("p_type").contains("BRASS"), F.lit("brass"))
+        .when(F.col("p_size") >= 45, F.lit("oversize"))
+        .otherwise(F.lit("other"))
+    )
+    tier = (
+        F.when(kind == "promo_large", F.lit(13.0))
+        .when(kind.isin("promo", "brass_large"), F.lit(14.0))
+        .when(kind == "brass", F.lit(15.0))
+        .otherwise(F.lit(16.0))
+    )
+    return p.select(
+        F.col("p_partkey").alias("part_id"), kind.alias("kind"), tier.alias("min_zoom")
+    )
+
+
+def q_lookup_threshold(spark, sf_dir):
+    """Ordered threshold lookup table (the rule language's `lookup` op):
+    first row where key >= threshold wins."""
+    o = _read(spark, sf_dir, "orders")
+    mz = (
+        F.when(F.col("o_totalprice") >= 400000, F.lit(8.0))
+        .when(F.col("o_totalprice") >= 200000, F.lit(10.0))
+        .when(F.col("o_totalprice") >= 100000, F.lit(12.0))
+        .when(F.col("o_totalprice") >= 50000, F.lit(14.0))
+        .otherwise(F.lit(17.0))
+    )
+    return (
+        o.select(mz.alias("min_zoom"))
+        .groupBy("min_zoom")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("min_zoom")
+    )
+
+
+def q_broadcast_join_agg(spark, sf_dir):
+    """Star join with broadcast dims: revenue by nation in one region."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("decimal(38,2)").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q_semi_join_membership(spark, sf_dir):
+    """Membership semi-join (the is_bus_route / relation-membership
+    shape): orders having any high-quantity lineitem."""
+    o = _read(spark, sf_dir, "orders")
+    li = _lineitem(spark, sf_dir).filter(F.col("l_quantity") >= 49)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .select(F.col("o_orderkey").alias("order_id"), F.col("o_orderpriority").alias("priority"))
+        .orderBy("order_id")
+    )
+
+
+def q_window_rank_topk(spark, sf_dir):
+    """rank_features / keep_n_features analog: top-3 orders per customer."""
+    from pyspark.sql import Window
+
+    o = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("o_custkey").alias("cust_id"),
+            F.col("o_orderkey").alias("order_id"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+def q_tile_assign(spark, sf_dir):
+    """z/x/y tile assignment (slippy Web-Mercator math, pure Columns) of
+    synthetic customer points, aggregated per tile at z6."""
+    from osmzen_spark.tiling.cells import tile_x_col, tile_y_col
+
+    pts = _customer_points(spark, sf_dir)
+    z = 6
+    return (
+        pts.select(
+            tile_x_col(F.col("lon"), z).alias("tile_x"),
+            tile_y_col(F.col("lat"), z).alias("tile_y"),
+        )
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count("*").alias("n_points"))
+    )
+
+
+def q_point_in_polygon(spark, sf_dir):
+    """PIP spatial join: customer points in supplier rectangles (cell
+    prefilter + exact vectorized ray-cast). Oracle: bbox containment
+    (exact for axis-aligned rectangles)."""
+    from osmzen_spark.tiling.pip import point_in_polygon_join
+
+    pts = _customer_points(spark, sf_dir)
+    s = _read(spark, sf_dir, "supplier")
+    half_lon = (F.pmod(F.col("s_suppkey"), F.lit(80)) + 10) / 10.0 + 0.00000049
+    half_lat = (F.pmod(F.col("s_suppkey"), F.lit(60)) + 10) / 12.0 + 0.00000049
+    cx = F.pmod(F.col("s_suppkey") * 2654435761, F.lit(320000000)) / 1000000.0 - 160.0
+    cy = F.pmod(F.col("s_suppkey") * 2246822519, F.lit(130000000)) / 1000000.0 - 65.0
+    polys = s.select(
+        F.col("s_suppkey").alias("poly_id"),
+        F.struct(
+            F.array(cx - half_lon, cx + half_lon, cx + half_lon, cx - half_lon, cx - half_lon).alias("xs"),
+            F.array(cy - half_lat, cy - half_lat, cy + half_lat, cy + half_lat, cy - half_lat).alias("ys"),
+            F.array(F.lit(5)).alias("ring_lens"),
+            F.array(F.lit(0)).alias("ring_roles"),
+        ).alias("geometry"),
+    )
+    joined = point_in_polygon_join(pts, polys, z=4, lon="lon", lat="lat")
+    return (
+        joined.groupBy("poly_id")
+        .agg(F.count("*").alias("n_inside"), F.sum("id").alias("sum_ids"))
+        .orderBy("poly_id")
+    )
+
+
+def q_knn(spark, sf_dir):
+    """kNN via cell-ring expansion: 3 nearest customers for a grid of
+    query points; exactness validated against the window-over-haversine
+    oracle."""
+    from osmzen_spark.tiling.knn import knn_join
+
+    pts = _customer_points(spark, sf_dir)
+    queries = spark.range(1, 9).select(
+        F.col("id"),
+        (F.col("id") * 40.0 - 180.0 + 20.0).alias("lon"),
+        (F.col("id") * 15.0 - 70.0).alias("lat"),
+    )
+    res = knn_join(queries, pts, k=3, z=3, ring=2)
+    return res.select(
+        F.col("q_id").alias("query_id"),
+        F.col("p_id").alias("point_id"),
+        F.col("knn_rank").cast("int").alias("knn_rank"),
+    )
+
+
+def q_raster_vector_join(spark, sf_dir):
+    """raster tile <-> vector feature equi-join on (z,x,y): parts define
+    raster tiles at z5; customer points join by containment tile."""
+    from osmzen_spark.tiling.cells import tile_x_col, tile_y_col
+
+    z = 5
+    p = _read(spark, sf_dir, "part")
+    rasters = p.select(
+        F.col("p_partkey").alias("raster_id"),
+        F.pmod(F.col("p_partkey") * 2654435761, F.lit(2**z)).alias("tile_x"),
+        F.pmod(F.col("p_partkey") * 2246822519, F.lit(2**z)).alias("tile_y"),
+    )
+    pts = _customer_points(spark, sf_dir).select(
+        "id", tile_x_col(F.col("lon"), z).alias("tile_x"), tile_y_col(F.col("lat"), z).alias("tile_y")
+    )
+    joined = pts.join(rasters, on=["tile_x", "tile_y"])
+    return (
+        joined.groupBy("tile_x", "tile_y")
+        .agg(F.count("*").alias("n_pairs"), F.countDistinct("raster_id").alias("n_rasters"))
+        .orderBy("tile_x", "tile_y")
+    )
+
+
+def q_exact_dedup(spark, sf_dir):
+    """Exact text dedup: keep lowest doc_id per text (hash-partitioned)."""
+    from osmzen_spark.ops.dedup import exact_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id").select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+def q_text_stats(spark, sf_dir):
+    """Language-ID + token counting + quality scoring (Column-only)."""
+    from osmzen_spark.ops.textstats import language_id_col, quality_score_col, token_count_col
+
+    docs = _read(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        language_id_col(t).alias("lang_id"),
+        token_count_col(t).cast("int").alias("n_tokens"),
+        quality_score_col(t).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def q_events_window(spark, sf_dir):
+    """Tumbling time-window aggregation over the events stream table."""
+    e = _read(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+def q_quantize_clamp(spark, sf_dir):
+    """The quantize_height + clamp_min_zoom numeric semantics
+    (ref:postprocess/quantize_height.go:17-25) applied to lineitem."""
+    li = _lineitem(spark, sf_dir)
+    h = F.col("l_quantity")
+    step = F.lit(10.0)
+    quantized = F.when(h < step, F.floor(step).cast("double")).otherwise(
+        F.floor(step * F.round(h / step)).cast("double")
+    )
+    mz = F.col("l_linenumber").cast("double") + 10.0
+    clamp = F.when(F.col("l_linenumber") >= 5, F.lit(16.0)).otherwise(F.lit(0.0))
+    return (
+        li.select(quantized.alias("qheight"), F.greatest(mz, clamp).alias("clamped_zoom"))
+        .groupBy("qheight", "clamped_zoom")
+        .agg(F.count("*").alias("n"))
+        .orderBy("qheight", "clamped_zoom")
+    )
+
+
+def q_minhash_near_dup(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs (rows-only check: banding
+    uses xxhash64, not replicable in ANSI SQL)."""
+    from osmzen_spark.ops.dedup import minhash_dedup_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(docs, "text", "doc_id", num_hashes=32, bands=8).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash fingerprints grouped into hamming buckets (rows-only)."""
+    from osmzen_spark.ops.dedup import simhash_col
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash_col(F.col("text"), bits=16).alias("simhash"))
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k over the embeddings table (ANN baseline)."""
+    from osmzen_spark.ops.similarity import cosine_topk_bruteforce
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.pmod(F.col("vec_id"), F.lit(200)) == 0)
+    res = cosine_topk_bruteforce(emb, queries, k=3)
+    return res.select(
+        F.col("q_id").alias("query_id"),
+        F.col("p_id").alias("point_id"),
+        F.col("sim_rank").cast("int").alias("sim_rank"),
+    )
+
+
+def q_normalize_buildings(spark, sf_dir):
+    """The flagship rule-engine slice as an oracle-checkable query:
+    synthetic building elements -> mercator area -> first-match tier ->
+    min_zoom + kind + height + tile assignment. The SQL oracle
+    re-derives the identical math (shoelace on a square, when-chain)."""
+    from osmzen_spark.datagen import synthetic_elements
+    from osmzen_spark.pipeline.normalize import NormalizeEngine
+
+    elements = synthetic_elements(spark, sf_dir)
+    engine = NormalizeEngine()
+    layers = engine.process(elements, zoom=20, tile_zoom=10, layer_names=["buildings", "pois"])
+    b = layers["buildings"]
+    return b.select(
+        "id",
+        "kind",
+        "min_zoom",
+        F.col("height").cast("double").alias("height"),
+        F.col("area").cast("double").alias("area"),
+        "tile_x",
+        "tile_y",
+    ).orderBy("id")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full normalize+tile over synthetic elements at sf0.001."""
+    from osmzen_spark.datagen import synthetic_elements
+    from osmzen_spark.pipeline.normalize import NormalizeEngine
+
+    elements = synthetic_elements(spark, "/root/testdata/sf0.001")
+    engine = NormalizeEngine()
+    out = engine.process_unioned(elements, zoom=20, tile_zoom=14)
+    scalar_cols = [
+        "id", "type", "zen_layer", "min_zoom", "kind", "kind_detail", "name",
+        "area", "height", "volume", "sort_rank", "scale_rank",
+        "tile_z", "tile_x", "tile_y", "cell",
+    ]
+    return out.select(*[c for c in scalar_cols if c in out.columns])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": q_pricing_summary,
+        "first_match_classify": q_first_match_classify,
+        "lookup_threshold": q_lookup_threshold,
+        "broadcast_join_agg": q_broadcast_join_agg,
+        "semi_join_membership": q_semi_join_membership,
+        "window_rank_topk": q_window_rank_topk,
+        "tile_assign": q_tile_assign,
+        "point_in_polygon": q_point_in_polygon,
+        "knn": q_knn,
+        "raster_vector_join": q_raster_vector_join,
+        "exact_dedup": q_exact_dedup,
+        "text_stats": q_text_stats,
+        "events_window": q_events_window,
+        "quantize_clamp": q_quantize_clamp,
+        "minhash_near_dup": q_minhash_near_dup,
+        "simhash": q_simhash,
+        "cosine_topk": q_cosine_topk,
+        "normalize_buildings": q_normalize_buildings,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pts = _CUSTOMER_POINTS_SQL
+    tile_x = "CAST(GREATEST(0, LEAST({n} - 1, CAST(FLOOR((lon + 180.0) / 360.0 * {n}) AS BIGINT))) AS BIGINT)"
+    tile_y = (
+        "CAST(GREATEST(0, LEAST({n} - 1, CAST(FLOOR((1.0 - LN(TAN(RADIANS(GREATEST(-85.05112877980659, LEAST(85.05112877980659, lat)))) "
+        "+ 1.0 / COS(RADIANS(GREATEST(-85.05112877980659, LEAST(85.05112877980659, lat))))) / PI()) / 2.0 * {n}) AS BIGINT))) AS BIGINT)"
+    )
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(38,2)) AS sum_base_price,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "first_match_classify": """
+            SELECT p_partkey AS part_id,
+                   CASE
+                     WHEN p_type LIKE 'PROMO%' AND p_size >= 40 THEN 'promo_large'
+                     WHEN p_type LIKE 'PROMO%' THEN 'promo'
+                     WHEN p_type LIKE '%BRASS%' AND p_size >= 30 THEN 'brass_large'
+                     WHEN p_type LIKE '%BRASS%' THEN 'brass'
+                     WHEN p_size >= 45 THEN 'oversize'
+                     ELSE 'other'
+                   END AS kind,
+                   CASE
+                     WHEN p_type LIKE 'PROMO%' AND p_size >= 40 THEN 13.0
+                     WHEN p_type LIKE 'PROMO%' THEN 14.0
+                     WHEN p_type LIKE '%BRASS%' AND p_size >= 30 THEN 14.0
+                     WHEN p_type LIKE '%BRASS%' THEN 15.0
+                     ELSE 16.0
+                   END AS min_zoom
+            FROM part
+        """,
+        "lookup_threshold": """
+            SELECT CASE
+                     WHEN o_totalprice >= 400000 THEN 8.0
+                     WHEN o_totalprice >= 200000 THEN 10.0
+                     WHEN o_totalprice >= 100000 THEN 12.0
+                     WHEN o_totalprice >= 50000 THEN 14.0
+                     ELSE 17.0
+                   END AS min_zoom,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "broadcast_join_agg": """
+            SELECT n_name,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(38,2)) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "semi_join_membership": """
+            SELECT o_orderkey AS order_id, o_orderpriority AS priority
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+            ORDER BY order_id
+        """,
+        "window_rank_topk": """
+            SELECT o_custkey AS cust_id, o_orderkey AS order_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rnk
+            FROM orders
+            QUALIFY rnk <= 3
+        """,
+        "tile_assign": f"""
+            WITH pts AS ({pts})
+            SELECT {tile_x.format(n=64)} AS tile_x,
+                   {tile_y.format(n=64)} AS tile_y,
+                   COUNT(*) AS n_points
+            FROM pts GROUP BY 1, 2
+        """,
+        "point_in_polygon": """
+            WITH pts AS (
+              SELECT c_custkey AS id,
+                     (c_custkey * 2654435761) % 360000000 / 1000000.0 - 180.0 AS lon,
+                     (c_custkey * 2246822519) % 150000000 / 1000000.0 - 75.0  AS lat
+              FROM customer
+            ), rects AS (
+              SELECT s_suppkey AS poly_id,
+                     (s_suppkey * 2654435761) % 320000000 / 1000000.0 - 160.0 AS cx,
+                     (s_suppkey * 2246822519) % 130000000 / 1000000.0 - 65.0  AS cy,
+                     ((s_suppkey % 80) + 10) / 10.0 + 0.00000049 AS half_lon,
+                     ((s_suppkey % 60) + 10) / 12.0 + 0.00000049 AS half_lat
+              FROM supplier
+            )
+            SELECT poly_id, COUNT(*) AS n_inside, SUM(id) AS sum_ids
+            FROM pts JOIN rects
+              ON pts.lon > rects.cx - rects.half_lon AND pts.lon < rects.cx + rects.half_lon
+             AND pts.lat > rects.cy - rects.half_lat AND pts.lat < rects.cy + rects.half_lat
+            GROUP BY poly_id ORDER BY poly_id
+        """,
+        "knn": """
+            WITH pts AS (
+              SELECT c_custkey AS id,
+                     (c_custkey * 2654435761) % 360000000 / 1000000.0 - 180.0 AS lon,
+                     (c_custkey * 2246822519) % 150000000 / 1000000.0 - 75.0  AS lat
+              FROM customer
+            ), q AS (
+              SELECT i AS id, i * 40.0 - 160.0 AS lon, i * 15.0 - 70.0 AS lat
+              FROM generate_series(1, 8) AS t(i)
+            ), d AS (
+              SELECT q.id AS query_id, pts.id AS point_id,
+                     2.0 * 6371000.0 * ASIN(LEAST(1.0, SQRT(
+                       POW(SIN((RADIANS(pts.lat) - RADIANS(q.lat)) / 2), 2)
+                       + COS(RADIANS(q.lat)) * COS(RADIANS(pts.lat))
+                         * POW(SIN((RADIANS(pts.lon) - RADIANS(q.lon)) / 2), 2)
+                     ))) AS dist
+              FROM q CROSS JOIN pts
+            )
+            SELECT query_id, point_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY dist ASC, point_id ASC) AS INT) AS knn_rank
+            FROM d
+            QUALIFY knn_rank <= 3
+        """,
+        "raster_vector_join": f"""
+            WITH pts AS ({pts}),
+            feat AS (
+              SELECT id, {tile_x.format(n=32)} AS tile_x, {tile_y.format(n=32)} AS tile_y FROM pts
+            ),
+            rasters AS (
+              SELECT p_partkey AS raster_id,
+                     (p_partkey * 2654435761) % 32 AS tile_x,
+                     (p_partkey * 2246822519) % 32 AS tile_y
+              FROM part
+            )
+            SELECT feat.tile_x, feat.tile_y, COUNT(*) AS n_pairs,
+                   COUNT(DISTINCT raster_id) AS n_rasters
+            FROM feat JOIN rasters USING (tile_x, tile_y)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "exact_dedup": """
+            SELECT doc_id, lang, source
+            FROM documents
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id ASC) = 1
+            ORDER BY doc_id
+        """,
+        "events_window": """
+            SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+            FROM events
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "quantize_clamp": """
+            SELECT CASE WHEN l_quantity < 10.0 THEN 10.0
+                        ELSE FLOOR(10.0 * ROUND(l_quantity / 10.0, 0)) END AS qheight,
+                   GREATEST(CAST(l_linenumber AS DOUBLE) + 10.0,
+                            CASE WHEN l_linenumber >= 5 THEN 16.0 ELSE 0.0 END) AS clamped_zoom,
+                   COUNT(*) AS n
+            FROM lineitem
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # text_stats / minhash / simhash / cosine_topk / normalize_buildings:
+        # text_stats oracle below; hash-based ops are rows-only by design.
+        "text_stats": """
+            WITH w AS (
+              SELECT doc_id, text,
+                     string_split_regex(lower(text), '\\s+') AS words,
+                     LENGTH(text) AS n,
+                     LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) AS alpha,
+                     LENGTH(REGEXP_REPLACE(text, '[^.,;:!?]', '', 'g')) AS punct,
+                     LEN(string_split_regex(TRIM(text), '\\s+')) AS n_words
+              FROM documents
+            ), scored AS (
+              SELECT doc_id,
+                     LEN(list_filter(words, x -> x IN ('the','and','of','to','is','in','that','it','was','for'))) AS s_en,
+                     LEN(list_filter(words, x -> x IN ('der','die','und','das','ist','nicht','ein','mit','auf','sich'))) AS s_de,
+                     LEN(list_filter(words, x -> x IN ('le','la','les','et','est','des','une','dans','que','pour'))) AS s_fr,
+                     LEN(list_filter(words, x -> x IN ('el','la','los','de','que','es','en','una','por','con'))) AS s_es,
+                     LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens,
+                     LEAST(n / 500.0, 1.0) AS len_score,
+                     alpha * 1.0 / GREATEST(n, 1) AS alpha_ratio,
+                     LEAST(punct * 10.0 / GREATEST(n, 1), 1.0) AS punct_penalty,
+                     CASE WHEN n * 1.0 / GREATEST(n_words, 1) BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END AS wl_score
+              FROM w
+            )
+            SELECT doc_id,
+                   CASE
+                     WHEN GREATEST(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                     WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr) THEN 'de'
+                     WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
+                     WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
+                     ELSE 'fr'
+                   END AS lang_id,
+                   CAST(n_tokens AS INT) AS n_tokens,
+                   FLOOR((len_score * 0.3 + alpha_ratio * 0.4 + (1.0 - punct_penalty) * 0.1 + wl_score * 0.2) * 1e6) / 1e6 AS quality
+            FROM scored
+            ORDER BY doc_id
+        """,
+    }

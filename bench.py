@@ -1,0 +1,127 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value", "unit": "sec", "queries": {...}, "sf", ...}.
+
+The flagship measure is the full osmzen normalize + tile-assign
+pipeline over the synthetic elements table (one element per lineitem
+row); `features_per_sec` is the BASELINE.md comparison number.
+
+--scaling: runs the flagship at two parallelism levels (local[8] vs
+local[32], standing in for N vs 4N executors) and reports throughput
+at both + scaling efficiency (north-rule evidence; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _sf_label(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def flagship(spark, sf_dir):
+    from osmzen_spark.datagen import synthetic_elements
+    from osmzen_spark.pipeline.normalize import NormalizeEngine
+
+    elements = synthetic_elements(spark, sf_dir)
+    engine = NormalizeEngine()
+    return engine.process_unioned(elements, zoom=20, tile_zoom=14)
+
+
+def run_benchmarks(spark, sf_dir):
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    timings: dict[str, float] = {}
+
+    def timed(name, df):
+        t0 = time.time()
+        _noop(df)
+        timings[name] = round(time.time() - t0, 3)
+
+    # flagship: normalize + tile assign (feature throughput metric)
+    out = flagship(spark, sf_dir)
+    t0 = time.time()
+    n_features = out.count()
+    flagship_sec = time.time() - t0
+    timings["normalize_tile"] = round(flagship_sec, 3)
+
+    qs = entrymod.queries()
+    for name in (
+        "pricing_summary",
+        "broadcast_join_agg",
+        "window_rank_topk",
+        "tile_assign",
+        "point_in_polygon",
+        "knn",
+        "exact_dedup",
+        "text_stats",
+        "minhash_near_dup",
+        "cosine_topk",
+    ):
+        timed(name, qs[name](spark, sf_dir))
+
+    return timings, n_features, flagship_sec
+
+
+def main():
+    from osmzen_spark.session import get_spark
+
+    if "--scaling" in sys.argv:
+        results = {}
+        for cpus in (8, 32):
+            spark = get_spark(
+                app_name=f"bench-scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
+            )
+            out = flagship(spark, SF_DIR)
+            _noop(out)  # warm: JIT + codegen + file listing
+            t0 = time.time()
+            n = out.count()
+            sec = time.time() - t0
+            results[cpus] = {"features": n, "sec": round(sec, 3), "features_per_sec": round(n / sec, 1)}
+            spark.stop()
+        eff = results[32]["features_per_sec"] / (4 * results[8]["features_per_sec"])
+        print(json.dumps({"scaling": results, "efficiency_8_to_32": round(eff, 3)}))
+        return
+
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 8))
+    timings, n_features, flagship_sec = run_benchmarks(spark, SF_DIR)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_label(SF_DIR),
+                "n_features_normalized": n_features,
+                "features_per_sec": round(n_features / flagship_sec, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

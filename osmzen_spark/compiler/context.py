@@ -92,7 +92,11 @@ class EvalContext:
             F.when(height != "", F.coalesce(to_float_meters_col(height), F.lit(1.0e10)))
             .when(
                 levels != "",
-                F.coalesce(F.greatest(levels_f, F.lit(1.0)) * 3 + 2, F.lit(1.0e10)),
+                # NB greatest() skips NULLs in Spark, so guard the
+                # unparseable-levels case explicitly (-> 1e10)
+                F.when(levels_f.isNotNull(), F.greatest(levels_f, F.lit(1.0)) * 3 + 2).otherwise(
+                    F.lit(1.0e10)
+                ),
             )
             .otherwise(F.lit(0.0))
         )

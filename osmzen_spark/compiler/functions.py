@@ -57,12 +57,12 @@ def to_float_meters_col(s: Column) -> Column:
     )
     # reference scans the first 5 number-looking substrings and takes the
     # first that parses (ref:util/utils.go:80-85)
-    first_num = F.element_at(
+    first_num = F.try_element_at(
         F.filter(
             F.transform(F.regexp_extract_all(x, F.lit(_NUM_RE), 1), try_double),
             lambda v: v.isNotNull(),
         ),
-        1,
+        F.lit(1),
     )
     return F.when(x == "", F.lit(None).cast("double")).otherwise(
         F.coalesce(plain, with_unit, feet_expr, first_num)

@@ -134,13 +134,15 @@ def geometry_stats(
     row_mx = row_sum(ring_mx)
     row_my = row_sum(ring_my)
 
-    # vertex means (centroid fallback & point centroids), in Mercator plane
+    # vertex means (centroid fallback & point centroids) in RAW lon/lat —
+    # avoids projection round-trip error on exact point coordinates
     pt_counts = np.diff(pt_row_offsets).astype(np.float64)
     safe_counts = np.maximum(pt_counts, 1.0)
-    row_x_mean = np.add.reduceat(X, np.minimum(pt_row_offsets[:-1], n_pts - 1))
-    row_y_mean = np.add.reduceat(Y, np.minimum(pt_row_offsets[:-1], n_pts - 1))
-    row_x_mean = np.where(pt_counts > 0, row_x_mean / safe_counts, np.nan)
-    row_y_mean = np.where(pt_counts > 0, row_y_mean / safe_counts, np.nan)
+    reduce_idx = np.minimum(pt_row_offsets[:-1], n_pts - 1)
+    row_lon_mean = np.add.reduceat(xs_flat, reduce_idx)
+    row_lat_mean = np.add.reduceat(ys_flat, reduce_idx)
+    row_lon_mean = np.where(pt_counts > 0, row_lon_mean / safe_counts, np.nan)
+    row_lat_mean = np.where(pt_counts > 0, row_lat_mean / safe_counts, np.nan)
 
     is_poly = np.isin(geom_type, POLY_TYPES)
     is_line = np.isin(geom_type, LINE_TYPES)
@@ -154,17 +156,13 @@ def geometry_stats(
         line_cx = row_mx / row_len_all
         line_cy = row_my / row_len_all
 
-    cx = np.where(
-        is_poly & (np.abs(row_area) > 1e-12),
-        poly_cx,
-        np.where(is_line & (row_len_all > 1e-12), line_cx, row_x_mean),
-    )
-    cy = np.where(
-        is_poly & (np.abs(row_area) > 1e-12),
-        poly_cy,
-        np.where(is_line & (row_len_all > 1e-12), line_cy, row_y_mean),
-    )
-
-    clon = unproject_lon(cx)
-    clat = unproject_lat(cy)
+    use_poly = is_poly & (np.abs(row_area) > 1e-12)
+    use_line = (~use_poly) & is_line & (row_len_all > 1e-12)
+    with np.errstate(invalid="ignore"):
+        clon = np.where(
+            use_poly, unproject_lon(poly_cx), np.where(use_line, unproject_lon(line_cx), row_lon_mean)
+        )
+        clat = np.where(
+            use_poly, unproject_lat(poly_cy), np.where(use_line, unproject_lat(line_cy), row_lat_mean)
+        )
     return area, length, clon, clat

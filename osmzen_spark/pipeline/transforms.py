@@ -256,7 +256,54 @@ def t_route_name(df, ctx, zoom):
     return out.withColumn("route_name", F.when(rn != F.coalesce(name, rn), rn))
 
 
+# default place min_zoom table (ref:transforms.go:326-350)
+_PLACE_DEFAULT_MZ = {
+    "locality": 13.0, "isolated_dwelling": 13.0, "farm": 13.0, "hamlet": 12.0,
+    "village": 11.0, "suburb": 10.0, "quarter": 10.0, "borough": 10.0,
+    "town": 8.0, "city": 8.0, "province": 4.0, "state": 4.0, "sea": 3.0,
+    "country": 0.0, "ocean": 0.0, "continent": 0.0,
+}
+
+
+def t_calculate_default_place_min_zoom(df, ctx, zoom):
+    """kind-keyed default min_zoom, capitals promoted (-1/-2); only
+    applies when min_zoom is absent — in this engine min_zoom is always
+    set by rule eval (as in the reference pipeline, where this is
+    effectively a no-op; ref:transforms.go:355-382). Kept faithful."""
+    if "min_zoom" not in df.columns or "kind" not in df.columns:
+        return df
+    kind_mz = F.element_at(
+        F.create_map(*[F.lit(x) for kv in sorted(_PLACE_DEFAULT_MZ.items()) for x in kv]),
+        F.col("kind").cast("string"),
+    )
+    is_city_town = F.col("kind").isin("city", "town")
+    region_cap = F.col("region_capital").isNotNull() if "region_capital" in df.columns else F.lit(False)
+    country_cap = F.col("country_capital").isNotNull() if "country_capital" in df.columns else F.lit(False)
+    adjusted = kind_mz - F.when(is_city_town & region_cap, 1.0).when(
+        is_city_town & country_cap, 2.0
+    ).otherwise(0.0)
+    return df.withColumn("min_zoom", F.coalesce(F.col("min_zoom"), adjusted))
+
+
+def t_noop(df, ctx, zoom):
+    return df
+
+
 TRANSFORMS: dict[str, Callable] = {
+    # intentional no-ops, matching the reference's nil registry entries
+    # (ref:transforms.go:28-40)
+    "tags_create_dict": t_noop,
+    "tags_remove": t_noop,
+    "add_id_to_properties": t_noop,
+    "remove_feature_id": t_noop,
+    "add_road_network_from_ncat": t_noop,
+    "remove_zero_area": t_noop,
+    "truncate_min_zoom_to_1dp": t_noop,
+    "truncate_min_zoom_to_2dp": t_noop,
+    "capital_alternate_viewpoint": t_noop,
+    "remap_viewpoint_kinds": t_noop,
+    "unpack_viewpoint_claims": t_noop,
+    "calculate_default_place_min_zoom": t_calculate_default_place_min_zoom,
     "parse_layer_as_float": t_parse_layer_as_float,
     "building_height": t_building_height,
     "building_min_height": t_building_min_height,

@@ -1,0 +1,102 @@
+"""Training-data ops tests: dedup, similarity, text stats, payload."""
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from osmzen_spark.ops.dedup import exact_dedup, minhash_dedup_pairs, ngram_jaccard_pairs, simhash_col
+from osmzen_spark.ops.similarity import cosine_topk_bruteforce, lsh_bucket_candidates
+from osmzen_spark.ops.textstats import with_text_stats
+
+
+def docs_df(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs away fast"),
+        (2, "the quick brown fox jumps over the lazy dog and runs away fast"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat and runs away fast"),  # near dup
+        (4, "der schnelle braune fuchs springt und das ist ein test mit auf"),
+        (5, "completely different content about spark distributed computing engines"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(docs_df(spark), "text", "doc_id")
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 3, 4, 5]  # 2 removed (same text, higher id)
+
+
+def test_ngram_jaccard_near_dup(spark):
+    pairs = ngram_jaccard_pairs(docs_df(spark), k=3, min_jaccard=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got  # exact dup -> jaccard 1.0
+    assert (1, 3) in got or (2, 3) in got  # near dup above 0.5
+    assert all(p not in got for p in [(1, 5), (4, 5)])
+
+
+def test_minhash_pairs_find_exact_dup(spark):
+    pairs = minhash_dedup_pairs(docs_df(spark), num_hashes=32, bands=8).collect()
+    exact = [r for r in pairs if (r["id_a"], r["id_b"]) == (1, 2)]
+    assert exact and exact[0]["est_jaccard"] == 1.0
+
+
+def test_simhash_deterministic_and_similar(spark):
+    df = docs_df(spark).select("doc_id", simhash_col(F.col("text"), bits=32).alias("sh"))
+    vals = {r["doc_id"]: r["sh"] for r in df.collect()}
+    assert vals[1] == vals[2]  # identical text -> identical simhash
+    ham_near = bin(vals[1] ^ vals[3]).count("1")
+    ham_far = bin(vals[1] ^ vals[5]).count("1")
+    assert ham_near < ham_far
+
+
+def test_text_stats(spark):
+    out = {r["doc_id"]: r for r in with_text_stats(docs_df(spark)).collect()}
+    assert out[1]["lang_id"] == "en"
+    assert out[4]["lang_id"] == "de"
+    assert out[1]["n_tokens"] == 13
+    assert 0.0 <= out[1]["quality"] <= 1.0
+    assert out[1]["fingerprint"] == out[2]["fingerprint"]
+
+
+def vec_df(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 1.0]),
+        (5, [0.7, 0.7, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk(spark):
+    emb = vec_df(spark)
+    q = emb.filter(F.col("vec_id") == 1)
+    res = cosine_topk_bruteforce(emb, q, k=2).collect()
+    ranked = [r["p_id"] for r in sorted(res, key=lambda r: r["sim_rank"])]
+    assert ranked == [2, 5]
+
+
+def test_lsh_buckets_capture_similar(spark):
+    emb = vec_df(spark)
+    cand = lsh_bucket_candidates(emb, emb.filter(F.col("vec_id") == 1), dim=3, n_planes=6).collect()
+    pids = {r["p_id"] for r in cand}
+    assert 2 in pids  # near-identical vector must share the bucket
+
+
+def test_image_payload_roundtrip(spark):
+    from osmzen_spark.payload.images import with_image_features, psnr, decode_raw
+
+    rows = [("img-1", bytes([10, 20, 30] * 64), 8, 8, "raw", "caption one", 111)]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long")
+    feats = {r["image_id"]: r for r in with_image_features(df).collect()}
+    assert feats["img-1"]["mean_r"] == 10.0
+    assert feats["img-1"]["mean_g"] == 20.0
+    assert feats["img-1"]["mean_b"] == 30.0
+
+    # pass-through byte equality -> PSNR inf (the payload invariant)
+    out = df.select("bytes", "caption").collect()[0]
+    a = decode_raw(bytes([10, 20, 30] * 64), 8, 8)
+    b = decode_raw(out["bytes"], 8, 8)
+    assert psnr(a, b) == float("inf")
+    assert out["caption"] == "caption one"
