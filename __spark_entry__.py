@@ -318,10 +318,10 @@ def q_minhash_near_dup(spark, sf_dir):
 
 def q_simhash(spark, sf_dir):
     """SimHash fingerprints grouped into hamming buckets (rows-only)."""
-    from osmzen_spark.ops.dedup import simhash_col
+    from osmzen_spark.ops.dedup import with_simhash
 
     docs = _read(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash_col(F.col("text"), bits=16).alias("simhash"))
+    return with_simhash(docs, "text", bits=16).select("doc_id", "simhash")
 
 
 def q_cosine_topk(spark, sf_dir):

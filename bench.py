@@ -40,13 +40,13 @@ def _noop(df):
     df.write.format("noop").mode("overwrite").save()
 
 
-def flagship(spark, sf_dir):
+def flagship(spark, sf_dir, replicate: int = 1):
     from osmzen_spark.datagen import synthetic_elements
     from osmzen_spark.pipeline.normalize import NormalizeEngine
 
-    elements = synthetic_elements(spark, sf_dir)
+    elements = synthetic_elements(spark, sf_dir, replicate=replicate)
     engine = NormalizeEngine()
-    return engine.process_unioned(elements, zoom=20, tile_zoom=14)
+    return engine.process_unioned(elements, zoom=20, tile_zoom=14, cache=False)
 
 
 def run_benchmarks(spark, sf_dir):
@@ -60,8 +60,12 @@ def run_benchmarks(spark, sf_dir):
         _noop(df)
         timings[name] = round(time.time() - t0, 3)
 
-    # flagship: normalize + tile assign (feature throughput metric)
+    # flagship: normalize + tile assign (feature throughput metric).
+    # One warm pass first: JIT + whole-stage-codegen compilation of the
+    # 7-layer plan is a ~2min one-time cost that a steady-state cluster
+    # job pays once per executor lifetime, not per batch.
     out = flagship(spark, sf_dir)
+    _noop(out)
     t0 = time.time()
     n_features = out.count()
     flagship_sec = time.time() - t0
@@ -89,13 +93,20 @@ def main():
     from osmzen_spark.session import get_spark
 
     if "--scaling" in sys.argv:
+        # N vs 4N cores on the SAME input (north-rule evidence); the job
+        # is warm-run once per session (JIT + codegen) before timing.
+        # replicate scales the input so executor work dominates the
+        # per-action driver fixed cost (Catalyst optimization); 2 keeps
+        # the 8-core arm inside a 10-minute budget on this box. See
+        # BASELINE.md for the fixed-cost scaling analysis.
+        replicate = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICATE", "2"))
         results = {}
         for cpus in (8, 32):
             spark = get_spark(
                 app_name=f"bench-scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
             )
-            out = flagship(spark, SF_DIR)
-            _noop(out)  # warm: JIT + codegen + file listing
+            _noop(flagship(spark, SF_DIR, replicate=replicate))  # warm: JIT + codegen
+            out = flagship(spark, SF_DIR, replicate=replicate)
             t0 = time.time()
             n = out.count()
             sec = time.time() - t0

@@ -63,25 +63,42 @@ class CompiledLayer:
             return F.lit(None).cast("int")
         return out
 
-    def min_zoom_col(self, hoist, match_idx: Column) -> Column:
+    @staticmethod
+    def _grouped_chain(pairs, match_idx: Column, cast: str | None = None, default=None) -> Column:
+        """pairs: [(rule_idx, hoisted_col_name)] -> when chain, with rule
+        indices GROUPED by hoisted column (match_idx values are disjoint,
+        so branch order within the chain is irrelevant). Shared emit
+        anchors collapse 15+ branches into 1-3, keeping both the py4j
+        round trips and the plan Catalyst analyzes small."""
+        groups: dict[str, list[int]] = {}
+        for i, name in pairs:
+            groups.setdefault(name, []).append(i)
         out = None
-        for i, rule in enumerate(self.rules):
-            if rule.min_zoom is None:
-                continue  # nil MinZoom -> skip feature (ref:process.go:192-195)
-            mz = hoist("num", rule.min_zoom).cast("double")
-            cond = match_idx == F.lit(i)
-            out = F.when(cond, mz) if out is None else out.when(cond, mz)
-        return out if out is not None else F.lit(None).cast("double")
+        for name, idxs in groups.items():
+            col = F.col(name)
+            if cast:
+                col = col.cast(cast)
+            cond = match_idx.isin(*idxs) if len(idxs) > 1 else (match_idx == F.lit(idxs[0]))
+            out = F.when(cond, col) if out is None else out.when(cond, col)
+        if out is None:
+            return default if default is not None else F.lit(None)
+        return out
+
+    def min_zoom_col(self, hoist, match_idx: Column) -> Column:
+        pairs = [
+            (i, hoist("num", rule.min_zoom))
+            for i, rule in enumerate(self.rules)
+            if rule.min_zoom is not None  # nil MinZoom -> skip (ref:process.go:192-195)
+        ]
+        return self._grouped_chain(pairs, match_idx, cast="double", default=F.lit(None).cast("double"))
 
     def output_col(self, key: str, hoist, match_idx: Column) -> Column:
-        out = None
-        for i, rule in enumerate(self.rules):
-            if key not in rule.emit:
-                continue
-            expr = hoist("out", rule.emit[key])
-            cond = match_idx == F.lit(i)
-            out = F.when(cond, expr) if out is None else out.when(cond, expr)
-        return out if out is not None else F.lit(None)
+        pairs = [
+            (i, hoist("out", rule.emit[key]))
+            for i, rule in enumerate(self.rules)
+            if key in rule.emit
+        ]
+        return self._grouped_chain(pairs, match_idx)
 
     def evaluate(
         self,
@@ -117,7 +134,7 @@ class CompiledLayer:
         # when-branches, which Catalyst does not do textually.
         hoisted: dict[str, tuple[str, Column]] = {}
 
-        def hoist(kind: str, node) -> Column:
+        def hoist(kind: str, node) -> str:
             key = f"{kind}:{node!r}"
             if key not in hoisted:
                 col = (
@@ -126,7 +143,7 @@ class CompiledLayer:
                     else compile_expression(node, ctx)
                 )
                 hoisted[key] = (f"__x{len(hoisted)}", col)
-            return F.col(hoisted[key][0])
+            return hoisted[key][0]
 
         # pre-walk every rule so all temp columns are known up front
         for rule in self.rules:
@@ -145,10 +162,12 @@ class CompiledLayer:
         out = out.withColumn("min_zoom", F.floor(F.col("min_zoom") * 100) / 100.0)
 
         # compute emits into temp columns so no emit can clobber an input
-        # column another emit expression still reads (e.g. `area`)
+        # column another emit expression still reads (e.g. `area`);
+        # single withColumns call = one analysis pass instead of K
         emit_keys = [k for k in self.output_keys if k != "min_zoom"]
-        for key in emit_keys:
-            out = out.withColumn(f"__emit_{key}", self.output_col(key, hoist, mi))
+        out = out.withColumns(
+            {f"__emit_{key}": self.output_col(key, hoist, mi) for key in emit_keys}
+        )
 
         # relations get negated ids on output (ref:process.go:209-214)
         out = out.withColumn(

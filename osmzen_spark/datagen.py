@@ -45,11 +45,26 @@ def _point_geometry(lon, lat):
     )
 
 
-def synthetic_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One element per lineitem row; all attributes are deterministic
-    functions of (l_orderkey, l_linenumber)."""
+def synthetic_elements(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:
+    """One element per lineitem row (x replicate); all attributes are
+    deterministic functions of (l_orderkey, l_linenumber, replica).
+    ``replicate`` scales the table without new source data (distinct
+    ids/coords per replica) — used by bench --scaling so executor work
+    dominates over fixed driver/planning cost."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    key = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long")
+    # the sf* inputs are single small parquet files (1-3 splits); spread
+    # them across the executor cores up front so the pipeline's
+    # parallelism isn't capped by the file count (a 100TB table has
+    # thousands of splits and needs no such step)
+    target = spark.sparkContext.defaultParallelism
+    li = li.repartition(target)
+    if replicate > 1:
+        li = li.withColumn("_rep", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))))
+    else:
+        li = li.withColumn("_rep", F.lit(0))
+    key = (
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")) * replicate + F.col("_rep")
+    ).cast("long")
 
     df = li.select(
         key.alias("element_id"),

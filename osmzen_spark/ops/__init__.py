@@ -2,6 +2,7 @@ from osmzen_spark.ops.dedup import (  # noqa: F401
     exact_dedup,
     minhash_dedup_pairs,
     simhash_col,
+    with_simhash,
     ngram_jaccard_pairs,
 )
 from osmzen_spark.ops.textstats import with_text_stats, language_id_col  # noqa: F401

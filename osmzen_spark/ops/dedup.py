@@ -40,12 +40,14 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def minhash_signature(text: Column, num_hashes: int = 64, shingle_k: int = 5) -> Column:
-    """num_hashes-wide MinHash signature (array<long>): the i-th hash
-    function is xxhash64 seeded with i (k independent hash functions,
-    JVM-native; a*x+b universal hashing overflows int64 under ANSI
-    arithmetic, so seeded hashing is both safer and faster)."""
-    sh = _shingles(text, shingle_k)
+def minhash_signature_from(sh: Column, num_hashes: int) -> Column:
+    """Signature from a MATERIALIZED shingle-hash array column. The
+    i-th hash function is xxhash64 seeded with i (JVM-native; a*x+b
+    universal hashing overflows int64 under ANSI arithmetic).
+
+    Callers must pass a real column (withColumn the shingles first):
+    inlining the shingle expression here would make Catalyst recompute
+    the split/slice/hash chain num_hashes times per row."""
 
     def hash_fn(i: int):
         # factory closure: pyspark introspects lambda arity, so default
@@ -53,6 +55,10 @@ def minhash_signature(text: Column, num_hashes: int = 64, shingle_k: int = 5) ->
         return lambda x: F.xxhash64(F.lit(i), x)
 
     return F.array(*[F.array_min(F.transform(sh, hash_fn(i))) for i in range(num_hashes)])
+
+
+def minhash_signature(text: Column, num_hashes: int = 64, shingle_k: int = 5) -> Column:
+    return minhash_signature_from(_shingles(text, shingle_k), num_hashes)
 
 
 def minhash_dedup_pairs(
@@ -71,8 +77,13 @@ def minhash_dedup_pairs(
     from full signatures.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, shingle_k)
-    base = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    # materialize shingles, then the signature, so each is computed once
+    base = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+        .withColumn("__sh", _shingles(F.col("__t"), shingle_k))
+        .withColumn("sig", minhash_signature_from(F.col("__sh"), num_hashes))
+        .select("id", "sig")
+    )
     # one band key per contiguous signature slab, built at compile time
     band_keys = F.array(
         *[
@@ -83,23 +94,25 @@ def minhash_dedup_pairs(
     banded = base.select("id", "sig", F.explode(band_keys).alias("band_key"))
     a = banded.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band_key")
     b = banded.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band_key")
-    pairs = (
-        a.join(b, on="band_key")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .distinct()
-    )
     jaccard = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq))
         / F.lit(float(num_hashes))
     )
-    return pairs.select("id_a", "id_b", jaccard.alias("est_jaccard"))
+    # a pair matching in k bands appears k times: aggregate instead of
+    # distinct-ing over the signature arrays (narrower shuffle)
+    return (
+        a.join(b, on="band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jaccard.alias("est_jaccard"))
+        .groupBy("id_a", "id_b")
+        .agg(F.max("est_jaccard").alias("est_jaccard"))
+    )
 
 
-def simhash_col(text: Column, bits: int = 64, shingle_k: int = 2) -> Column:
-    """64-bit SimHash over word-shingle hashes: per-bit majority vote,
-    expressed as pure array math (aggregate over bit contributions)."""
-    sh = _shingles(text, shingle_k)
+def simhash_from(sh: Column, bits: int = 64) -> Column:
+    """SimHash from a MATERIALIZED shingle-hash array column: per-bit
+    majority vote as pure array math (see minhash_signature_from for
+    why the caller materializes the shingles)."""
 
     def bit_vote(i: int):
         return lambda acc, x: acc + F.when(
@@ -111,6 +124,19 @@ def simhash_col(text: Column, bits: int = 64, shingle_k: int = 2) -> Column:
     for i, s in enumerate(bit_sums):
         out = out.bitwiseOR(F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long")))
     return out
+
+
+def simhash_col(text: Column, bits: int = 64, shingle_k: int = 2) -> Column:
+    return simhash_from(_shingles(text, shingle_k), bits)
+
+
+def with_simhash(df: DataFrame, text_col: str = "text", bits: int = 64, shingle_k: int = 2) -> DataFrame:
+    """df + `simhash` column, with the shingle array materialized once."""
+    return (
+        df.withColumn("__sh", _shingles(F.col(text_col), shingle_k))
+        .withColumn("simhash", simhash_from(F.col("__sh"), bits))
+        .drop("__sh")
+    )
 
 
 def ngram_jaccard_pairs(

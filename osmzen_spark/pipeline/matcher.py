@@ -73,6 +73,12 @@ class CSVMatcher:
 
     @classmethod
     def from_path(cls, path: str) -> "CSVMatcher":
+        if path.endswith((".yaml", ".yml")):
+            import yaml
+
+            with open(path) as f:
+                doc = yaml.safe_load(f)
+            return cls([str(c) for c in doc["columns"]], [[str(x) for x in r] for r in doc["rows"]])
         with open(path) as f:
             return cls.from_text(f.read())
 

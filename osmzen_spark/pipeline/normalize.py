@@ -36,30 +36,60 @@ class NormalizeEngine:
         """Stage 1: geometry-derived columns (area/length/clon/clat)."""
         return with_geometry_stats(elements)
 
+    @staticmethod
+    def _point_in_bound(bound, lon_col: str = "clon", lat_col: str = "clat"):
+        minx, miny, maxx, maxy = bound
+        return (
+            (F.col(lon_col) >= minx)
+            & (F.col(lon_col) <= maxx)
+            & (F.col(lat_col) >= miny)
+            & (F.col(lat_col) <= maxy)
+        )
+
     def eval_layers(
-        self, derived: DataFrame, zoom: int, layer_names: list[str] | None = None
+        self,
+        derived: DataFrame,
+        zoom: int,
+        layer_names: list[str] | None = None,
+        bound=None,
     ) -> dict[str, DataFrame]:
         """Stages 2+3: rule eval + transforms per layer.
 
         The derived input is evaluated once per layer; an element can
-        match in multiple layers (ref:README.md:229).
-        """
+        match in multiple layers (ref:README.md:229). With a bound,
+        Point features outside it are skipped before eval AND Point
+        outputs (e.g. representative points of big polygons) outside it
+        are dropped after (ref:process.go:146-167)."""
+        if bound is not None:
+            derived = derived.filter(
+                (F.col("geom_type") != "Point") | self._point_in_bound(bound)
+            )
         out: dict[str, DataFrame] = {}
         for name in layer_names or list(self.config.layers):
             layer = self.config.layers[name]
             df = layer.evaluate(derived, zoom)
             df = apply_transforms(df, layer.transforms, zoom)
+            if bound is not None:
+                df = df.filter((F.col("geom_type") != "Point") | self._point_in_bound(bound))
             out[name] = df
         return out
 
-    def postprocess(self, layers: dict[str, DataFrame], zoom: int) -> dict[str, DataFrame]:
+    def postprocess(
+        self, layers: dict[str, DataFrame], zoom: int, bound=None
+    ) -> dict[str, DataFrame]:
         """Stage 4: cross-feature/cross-layer post-processors."""
         layers = set_conditional_names(layers, zoom)
+        clip_factors = {name: l.clip_factor for name, l in self.config.layers.items()}
         for step in self.config.postprocess:
             fn = POSTPROCESSORS.get(step.fn)
             if fn is None:
                 raise ValueError(f"unknown post-processor: {step.fn}")
-            layers = fn(layers, zoom, step.params)
+            params = dict(step.params)
+            if bound is not None:
+                params.setdefault("bound", bound)
+            if step.fn == "handle_label_placement":
+                params.setdefault("clip_factors", clip_factors)
+            layers = fn(layers, zoom, params)
         return layers
 
     def process(
@@ -68,13 +98,65 @@ class NormalizeEngine:
         zoom: int = 20,
         tile_zoom: int | None = None,
         layer_names: list[str] | None = None,
+        cache: bool = False,
+        single_pass: bool = False,
+        bound: tuple[float, float, float, float] | None = None,
     ) -> dict[str, DataFrame]:
         """Full pipeline; returns {layer_name: DataFrame} with tile
-        columns (tile_z/tile_x/tile_y/cell) appended."""
-        derived = self.derive(elements)
-        layers = self.eval_layers(derived, zoom, layer_names)
-        layers = self.postprocess(layers, zoom)
+        columns (tile_z/tile_x/tile_y/cell) appended.
+
+        Two physical strategies (both produce identical results —
+        the fixture suite runs on both):
+
+        * single_pass=False (default): one branch per layer; each
+          branch re-derives from source. Measured fastest in the
+          compute-light local regime (sf0.1: ~27s vs ~60s), because
+          re-computing the synthetic scan is cheaper than
+          materializing wide cached rows, and Catalyst prunes each
+          branch to exactly the columns it needs.
+
+        * single_pass=True: ALL layers' rules + transforms in one scan
+          + one projection (pipeline.singlepass), the exploded union
+          persisted (cache=True) as the only fan-out point. This is
+          the scan-bound shape for the 100 TB deployment — 1 source
+          scan instead of layers+2, with the persist replaced by an
+          Iceberg stage checkpoint (lineage.py) that doubles as the
+          kill-resume boundary. On local synthetic data the persist
+          cost exceeds the scan savings, so it is opt-in here.
+        """
+        from osmzen_spark.pipeline.singlepass import eval_all_layers_single_pass, split_layers
+
+        names = layer_names or list(self.config.layers)
         tz = tile_zoom if tile_zoom is not None else min(zoom, 16)
+        if single_pass:
+            derived = self.derive(elements)
+            if bound is not None:
+                derived = derived.filter(
+                    (F.col("geom_type") != "Point") | self._point_in_bound(bound)
+                )
+            union = eval_all_layers_single_pass(derived, self.config, zoom, names)
+            if bound is not None:
+                union = union.filter(
+                    (F.col("geom_type") != "Point") | self._point_in_bound(bound)
+                )
+            if cache:
+                union = union.persist()
+            layers = split_layers(union, names)
+        else:
+            derived = self.derive(elements)
+            layers = self.eval_layers(derived, zoom, names, bound=bound)
+            if cache:
+                # truncate each layer's plan before post-processing:
+                # label-placement unions, dedup splits and backfill
+                # joins each duplicate their input subtree, so without a
+                # cut the optimizer re-walks (and the driver re-holds)
+                # the full rule-evaluation tree 4-8x per layer — enough
+                # to OOM an 8g driver at 7 layers. localCheckpoint
+                # replaces the subtree with a materialized leaf (on a
+                # cluster this cut is the Iceberg stage checkpoint,
+                # lineage.py).
+                layers = {n: df.localCheckpoint(eager=False) for n, df in layers.items()}
+        layers = self.postprocess(layers, zoom, bound=bound)
         return {name: with_tile(df, tz) for name, df in layers.items()}
 
     def process_unioned(self, elements: DataFrame, zoom: int = 20, **kw) -> DataFrame:

@@ -9,10 +9,51 @@ tile cells.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import math
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from osmzen_spark.compiler.conditions import compile_condition
+from osmzen_spark.compiler.context import EvalContext
 from osmzen_spark.pipeline.matcher import CSVMatcher
+
+WORLD_BOUND = (-180.0, -85.05112877980659, 180.0, 85.05112877980659)
+
+
+class PropertiesContext(EvalContext):
+    """Condition context over feature PROPERTIES, mirroring the
+    reference's NewContextFromProperties (ref:filter/context.go:73-99):
+    only STRING-typed properties are visible as "tags" (booleans and
+    numbers are NOT copied — a faithful quirk: `label_placement: false`
+    presence-tests succeed even on rows whose label_placement is bool
+    true); `osm_tags` conditions see the raw tag stash."""
+
+    def __init__(self, df: DataFrame, zoom: int):
+        derived = {}
+        if "tags" in df.columns:
+            derived["osm_tags"] = F.col("tags")
+        super().__init__(tags="tags", geom_type="geom_type", derived=derived, zoom=zoom)
+        self._string_cols = {f.name for f in df.schema.fields if f.dataType.typeName() == "string"}
+
+    def tag(self, key: str):
+        if key not in self._string_cols:
+            return F.lit(None).cast("string")
+        return F.nullif(F.col(key), F.lit(""))
+
+    def tag_str(self, key: str):
+        if key not in self._string_cols:
+            return F.lit("")
+        return F.coalesce(F.col(key), F.lit(""))
+
+    def tag_present(self, key: str):
+        if key not in self._string_cols:
+            return F.lit(False)
+        return F.col(key).isNotNull()
+
+
+def props_condition(df: DataFrame, node, zoom: int) -> Column:
+    return compile_condition(node, PropertiesContext(df, zoom))
 
 
 def _ids_of(df: DataFrame) -> DataFrame:
@@ -216,7 +257,237 @@ def drop_names(layers, zoom, params):
     return out
 
 
+def handle_label_placement(layers, zoom, params):
+    """Append a centroid Point feature (label_placement=true) for rows
+    matching label_where whose centroid lies within the clip-padded
+    bound (ref:postprocess/functions.go:271-348). The centroid comes
+    from the precomputed clon/clat columns; bound defaults to world."""
+    start = params.get("start_zoom", 0)
+    if zoom < start:
+        return layers
+    out = dict(layers)
+    bound = params.get("bound", WORLD_BOUND)
+    for name in params["layers"]:
+        df = out.get(name)
+        if df is None:
+            continue
+        factor = params.get("clip_factors", {}).get(name, 1.0)
+        minx, miny, maxx, maxy = bound
+        # padBoundByFactor pads BOTH dims by height*(factor-1)/2
+        # (ref:postprocess/functions.go:921-930, geo.BoundPad)
+        pad = (maxy - miny) * (factor - 1.0) / 2.0
+        pad_x = pad
+        pad_y = pad
+        cond = props_condition(df, params["label_where"], zoom)
+        in_bound = (
+            (F.col("clon") >= minx - pad_x)
+            & (F.col("clon") <= maxx + pad_x)
+            & (F.col("clat") >= miny - pad_y)
+            & (F.col("clat") <= maxy + pad_y)
+        )
+        make_label = F.coalesce(cond & in_bound & F.col("clon").isNotNull(), F.lit(False))
+        # single-subtree append: explode [false] or [false, true] rather
+        # than union(df, labels(df)) — a union would duplicate the whole
+        # upstream rule-evaluation subtree in the plan and recompute it
+        labeled = df.withColumn(
+            "__mk", F.explode(F.when(make_label, F.array(F.lit(False), F.lit(True))).otherwise(F.array(F.lit(False))))
+        )
+        point = F.struct(
+            F.array(F.col("clon")).alias("xs"),
+            F.array(F.col("clat")).alias("ys"),
+            F.array(F.lit(1)).alias("ring_lens"),
+            F.array(F.lit(0)).alias("ring_roles"),
+        )
+        prev_lp = (
+            F.col("label_placement").cast("boolean")
+            if "label_placement" in df.columns
+            else F.lit(None).cast("boolean")
+        )
+        labeled = labeled.withColumn("label_placement", F.when(F.col("__mk"), F.lit(True)).otherwise(prev_lp))
+        if "geometry" in df.columns:
+            labeled = labeled.withColumn(
+                "geometry", F.when(F.col("__mk"), point).otherwise(F.col("geometry"))
+            ).withColumn(
+                "geom_type", F.when(F.col("__mk"), F.lit("Point")).otherwise(F.col("geom_type"))
+            )
+        out[name] = labeled.drop("__mk")
+    return out
+
+
+def drop_features_where(layers, zoom, params):
+    """Drop rows where the compiled property-condition is true
+    (ref:postprocess/functions.go:574-625; end_zoom is faithfully
+    ignored — the Go port only honors start_zoom)."""
+    layer = params["source_layer"]
+    if layer not in layers or zoom < params.get("start_zoom", 0):
+        return layers
+    df = layers[layer]
+    cond = props_condition(df, params["where"], zoom)
+    out = dict(layers)
+    out[layer] = df.filter(~F.coalesce(cond, F.lit(False)))
+    return out
+
+
+def update_parenthetical_properties(layers, zoom, params):
+    """Any string property ending '(closed)'/'(historical)' -> kind=value,
+    min_zoom=target; row dropped when zoom < drop_below_zoom
+    (ref:postprocess/functions.go:730-814)."""
+    layer = params["source_layer"]
+    if layer not in layers:
+        return layers
+    df = layers[layer]
+    values = params["values"]
+    target_mz = float(params["target_min_zoom"])
+    drop_below = float(params["drop_below_zoom"])
+    string_cols = [f.name for f in df.schema.fields if f.dataType.typeName() == "string" and f.name not in ("zen_layer", "type", "geom_type")]
+    matched_val = None
+    for v in values:
+        suffix = f"({v})"
+        any_col = None
+        for c in string_cols:
+            hit = F.coalesce(F.col(c), F.lit("")).endswith(suffix)
+            any_col = hit if any_col is None else (any_col | hit)
+        this = F.when(any_col, F.lit(v)) if any_col is not None else F.lit(None)
+        matched_val = this if matched_val is None else F.coalesce(matched_val, this)
+    out_df = df.withColumn("__paren", matched_val)
+    out_df = out_df.withColumn(
+        "kind", F.when(F.col("__paren").isNotNull(), F.col("__paren")).otherwise(F.col("kind"))
+    ).withColumn(
+        "min_zoom",
+        F.when(F.col("__paren").isNotNull(), F.lit(target_mz)).otherwise(F.col("min_zoom")),
+    )
+    if zoom < drop_below:
+        out_df = out_df.filter(F.col("__paren").isNull())
+    out = dict(layers)
+    out[layer] = out_df.drop("__paren")
+    return out
+
+
+def whitelist(layers, zoom, params):
+    """Keep property value if whitelisted, remap else, else drop it
+    (ref:postprocess/whitelist.go:11-130)."""
+    layer = params["layer"]
+    start = params.get("start_zoom", 0)
+    end = params.get("end_zoom", 50)
+    if layer not in layers or zoom < start or zoom > end:
+        return layers
+    df = layers[layer]
+    prop = params["property"]
+    if prop not in df.columns:
+        return layers
+    val = F.col(prop).cast("string")
+    keep = val.isin(*[str(v) for v in params["whitelist"]])
+    remap_tbl = params.get("remap")
+    if remap_tbl:
+        m = F.create_map(*[F.lit(str(x)) for kv in sorted(remap_tbl.items()) for x in kv])
+        fallback = F.element_at(m, val)  # NULL when unmapped -> dropped
+    else:
+        fallback = F.lit(None).cast("string")
+    new_val = F.when(keep, val).otherwise(fallback)
+    if "where" in params and params["where"] is not None:
+        cond = props_condition(df, params["where"], zoom)
+        new_val = F.when(cond, new_val).otherwise(val)
+    out = dict(layers)
+    out[layer] = df.withColumn(prop, F.when(val.isNotNull(), new_val))
+    return out
+
+
+def remove_duplicate_features(layers, zoom, params):
+    """Greedy first-wins spatial dedup of Points sharing a key tuple
+    within min_distance pixels (converted to meters at zoom+8 from the
+    bound corner — ref:postprocess/functions.go:446-572). Order matters
+    (first kept wins), so rows are processed in deterministic (id, type)
+    order inside an applyInPandas group per key tuple; groups are tiny
+    (features sharing name+kind), so the sequential scan is cheap and
+    fully parallel ACROSS groups — the shuffle key is the dedup key."""
+    import pandas as pd
+
+    end = params.get("end_zoom", 0)
+    if end and zoom > end:
+        return layers
+    keys = params["property_keys"]
+    geom_types = params.get("geometry_types", ["Point"])
+    min_px = float(params["min_distance"])
+
+    bound = params.get("bound", WORLD_BOUND)
+    # pixel -> meters: one tile at zoom+8 == one 256px-tile pixel at zoom
+    n = 2.0 ** (zoom + 8)
+    lon0, lat0 = bound[0], bound[1]
+    # tile x/y of bound corner at zoom+8 (slippy), then step min_px tiles
+    import math as _math
+
+    tx = int((lon0 + 180.0) / 360.0 * n)
+    lat_r = _math.radians(max(-85.05112877980659, min(85.05112877980659, lat0)))
+    ty = int((1 - _math.log(_math.tan(lat_r) + 1 / _math.cos(lat_r)) / _math.pi) / 2.0 * n)
+
+    def tile_center(x, y):
+        lon = (x + 0.5) / n * 360.0 - 180.0
+        lat = _math.degrees(_math.atan(_math.sinh(_math.pi * (1 - 2 * (y + 0.5) / n))))
+        return lon, lat
+
+    def haversine(lon1, lat1, lon2, lat2):
+        r = 6371000.0
+        p1, p2 = _math.radians(lat1), _math.radians(lat2)
+        dp = p2 - p1
+        dl = _math.radians(lon2 - lon1)
+        a = _math.sin(dp / 2) ** 2 + _math.cos(p1) * _math.cos(p2) * _math.sin(dl / 2) ** 2
+        return 2 * r * _math.asin(min(1.0, _math.sqrt(a)))
+
+    c1 = tile_center(tx, ty)
+    c2 = tile_center(tx + min_px, ty)
+    dist_m = haversine(c1[0], c1[1], c2[0], c2[1])
+
+    source_layers = params.get("source_layers") or [params["source_layer"]]
+    out = dict(layers)
+    for name in source_layers:
+        df = out.get(name)
+        if df is None:
+            continue
+        missing = [k for k in keys if k not in df.columns]
+        if missing:
+            continue
+        key_cols = [F.coalesce(F.col(k).cast("string"), F.lit("")) for k in keys]
+        eligible = F.col("geom_type").isin(*geom_types)
+        for kc in key_cols:
+            eligible = eligible & (kc != "")
+        # single-subtree plan: ONE grouped pass over the whole layer.
+        # Ineligible rows (missing keys / non-point) pass through inside
+        # salted groups so no single task collects them all.
+        marked = df.withColumn(
+            "__dedup_key",
+            F.when(eligible, F.concat_ws("-!-", *key_cols)).otherwise(
+                F.concat(F.lit("\x00skip-"), F.pmod(F.xxhash64(F.col("id")), F.lit(64)).cast("string"))
+            ),
+        )
+        schema = df.schema
+
+        def dedup_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            if pdf["__dedup_key"].iloc[0].startswith("\x00skip-") or len(pdf) == 1:
+                return pdf.drop(columns=["__dedup_key"])
+            pdf = pdf.sort_values(["id", "type"], kind="mergesort")
+            kept_lon, kept_lat, keep_mask = [], [], []
+            for lon, lat in zip(pdf["clon"], pdf["clat"]):
+                ok = True
+                for klon, klat in zip(kept_lon, kept_lat):
+                    if haversine(lon, lat, klon, klat) < dist_m:
+                        ok = False
+                        break
+                if ok:
+                    kept_lon.append(lon)
+                    kept_lat.append(lat)
+                keep_mask.append(ok)
+            return pdf[pd.Series(keep_mask, index=pdf.index)].drop(columns=["__dedup_key"])
+
+        out[name] = marked.groupBy("__dedup_key").applyInPandas(dedup_group, schema=schema)
+    return out
+
+
 POSTPROCESSORS = {
+    "handle_label_placement": handle_label_placement,
+    "drop_features_where": drop_features_where,
+    "update_parenthetical_properties": update_parenthetical_properties,
+    "whitelist": whitelist,
+    "remove_duplicate_features": remove_duplicate_features,
     "csv_match_properties": csv_match_properties,
     "backfill_from_other_layer": backfill_from_other_layer,
     "quantize_height": quantize_height,

@@ -1,13 +1,16 @@
 """Per-feature transforms (SURVEY.md §2.F): pure property edits
--> narrow ``withColumn`` stages, no shuffle (ref:transform/transforms.go).
+(ref:transform/transforms.go), expressed as **expression-level**
+functions over a property dict: ``fn(props, ctx, zoom)`` mutates
+``props`` (name -> Column). No DataFrame ops — the engine folds every
+layer's transform chain into the SAME single projection as rule
+evaluation, so transforms cost zero extra passes/shuffles.
 
-Each transform is ``fn(df, ctx, zoom) -> df`` where ``ctx`` is the
-EvalContext bound to the layer output's columns (tags = original OSM
-tag stash, kept through layer eval exactly like the reference keeps
-the `tags` property until post-processing ends, ref:process.go:216-218).
+Setting ``props[k] = None``-valued Column (F.lit(None)) == deleting the
+property; ``props.pop(k)`` removes the output column entirely (only
+safe when no other layer emits k — the engine handles unioning).
 
-Transforms must tolerate absent columns (a layer that never emits
-`zoo` simply skips normalize_tourism_kind's zoo branch).
+``apply_transforms`` / ``apply_transforms_df`` wrap this for the
+legacy DataFrame-at-a-time path (used by per-layer evaluate()).
 """
 
 from __future__ import annotations
@@ -27,155 +30,156 @@ CARDINALS = {
     "west": 270.0, "w": 270.0, "wnw": 292.0, "nw": 315.0, "nnw": 337.0,
 }
 
+# NB: F.lit() needs an active SparkContext, so NULL columns are built
+# lazily inside functions, never at module import time
 
-def _has(df: DataFrame, col: str) -> bool:
-    return col in df.columns
+
+def _null_s() -> Column:
+    return F.lit(None).cast("string")
 
 
-def t_parse_layer_as_float(df, ctx, zoom):
+def _null_d() -> Column:
+    return F.lit(None).cast("double")
+
+
+def _get_s(props, key) -> Column:
+    c = props.get(key)
+    return c.cast("string") if c is not None else _null_s()
+
+
+def _get_d(props, key) -> Column:
+    c = props.get(key)
+    return try_double(c.cast("string")) if c is not None else _null_d()
+
+
+def t_parse_layer_as_float(props, ctx, zoom):
     """layer -> float else drop (ref:transforms.go:399-410)."""
-    if not _has(df, "layer"):
-        return df
-    return df.withColumn("layer", try_double(F.col("layer").cast("string")))
+    if "layer" in props:
+        props["layer"] = _get_d(props, "layer")
 
 
-def t_building_height(df, ctx, zoom):
+def t_building_height(props, ctx, zoom):
     """height property from Context.Height(); 0 -> absent
     (ref:transforms.go:95-100)."""
-    return df.withColumn("height", F.nullif(ctx.height(), F.lit(0.0)))
+    props["height"] = F.nullif(ctx.height(), F.lit(0.0))
 
 
-def t_building_min_height(df, ctx, zoom):
+def t_building_min_height(props, ctx, zoom):
     """min_height float, else building_min_levels*3, else absent
     (ref:transforms.go:102-116)."""
-    min_h = try_double(F.col("min_height").cast("string")) if _has(df, "min_height") else F.lit(None).cast("double")
-    levels = (
-        try_double(F.col("building_min_levels").cast("string"))
-        if _has(df, "building_min_levels")
-        else F.lit(None).cast("double")
-    )
+    min_h = _get_d(props, "min_height")
+    levels = _get_d(props, "building_min_levels")
     from_levels = F.when(levels.isNotNull(), F.greatest(levels, F.lit(0.0)) * 3)
-    return df.withColumn("min_height", F.coalesce(min_h, from_levels))
+    props["min_height"] = F.coalesce(min_h, from_levels)
 
 
-def t_synthesize_volume(df, ctx, zoom):
+def t_synthesize_volume(props, ctx, zoom):
     """floor(area * height) when both present (ref:transforms.go:118-126)."""
-    if not (_has(df, "area") and _has(df, "height")):
-        return df
-    return df.withColumn(
-        "volume",
-        F.when(
-            F.col("area").isNotNull() & F.col("height").isNotNull(),
-            F.floor(F.col("area").cast("double") * F.col("height").cast("double")).cast("double"),
-        ),
+    if "area" not in props or "height" not in props:
+        return
+    area = props["area"].cast("double")
+    height = props["height"].cast("double")
+    props["volume"] = F.when(
+        area.isNotNull() & height.isNotNull(), F.floor(area * height).cast("double")
     )
 
 
-def t_building_trim_properties(df, ctx, zoom):
+def t_building_trim_properties(props, ctx, zoom):
     """drop building/building_part/building_levels/building_min_levels
     (ref:transforms.go:128-133)."""
-    drops = [c for c in ("building", "building_part", "building_levels", "building_min_levels") if _has(df, c)]
-    return df.drop(*drops)
+    for c in ("building", "building_part", "building_levels", "building_min_levels"):
+        props.pop(c, None)
 
 
-def t_normalize_tourism_kind(df, ctx, zoom):
+def t_normalize_tourism_kind(props, ctx, zoom):
     """zoo/attraction tags override kind (ref:transforms.go:485-499)."""
-    zoo = F.col("zoo") if _has(df, "zoo") else F.lit(None).cast("string")
-    attr = F.col("attraction") if _has(df, "attraction") else F.lit(None).cast("string")
+    zoo = _get_s(props, "zoo")
+    attr = _get_s(props, "attraction")
     promoted = F.coalesce(zoo, attr)
-    out = df.withColumn("kind", F.coalesce(promoted, F.col("kind"))) if _has(df, "kind") else df
-    if _has(df, "zoo") or _has(df, "attraction"):
-        tourism = F.col("tourism") if _has(df, "tourism") else F.lit(None).cast("string")
-        out = out.withColumn("tourism", F.when(promoted.isNotNull(), F.lit("attraction")).otherwise(tourism))
-    return out
+    if "kind" in props:
+        props["kind"] = F.coalesce(promoted, props["kind"])
+    if "zoo" in props or "attraction" in props:
+        tourism = _get_s(props, "tourism")
+        props["tourism"] = F.when(promoted.isNotNull(), F.lit("attraction")).otherwise(tourism)
 
 
-def t_detect_osm_relation(df, ctx, zoom):
+def t_detect_osm_relation(props, ctx, zoom):
     """type == relation -> osm_relation true (ref:transforms.go:89-93)."""
-    return df.withColumn("osm_relation", F.when(F.col("type") == "relation", F.lit(True)))
+    props["osm_relation"] = F.when(props["type"] == "relation", F.lit(True))
 
 
-def t_make_representative_point(df, ctx, zoom):
+def t_make_representative_point(props, ctx, zoom):
     """polygon -> centroid point geometry (ref:transforms.go:432-434)."""
-    if not _has(df, "geometry"):
-        return df
-    is_poly = F.col("geom_type").isin("Polygon", "MultiPolygon")
+    if "geometry" not in props:
+        return
+    is_poly = props["geom_type"].isin("Polygon", "MultiPolygon")
     point = F.struct(
-        F.array(F.col("clon")).alias("xs"),
-        F.array(F.col("clat")).alias("ys"),
+        F.array(props["clon"]).alias("xs"),
+        F.array(props["clat"]).alias("ys"),
         F.array(F.lit(1)).alias("ring_lens"),
         F.array(F.lit(0)).alias("ring_roles"),
     )
-    return df.withColumn(
-        "geometry", F.when(is_poly, point).otherwise(F.col("geometry"))
-    ).withColumn("geom_type", F.when(is_poly, F.lit("Point")).otherwise(F.col("geom_type")))
+    props["geometry"] = F.when(is_poly, point).otherwise(props["geometry"])
+    props["geom_type"] = F.when(is_poly, F.lit("Point")).otherwise(props["geom_type"])
 
 
-def t_height_to_meters(df, ctx, zoom):
+def t_height_to_meters(props, ctx, zoom):
     """height TAG parse -> meters else drop the property
     (ref:transforms.go:546-560: reads the original tag stash)."""
     tag = ctx.tag_str("height")
     parsed = to_float_meters_col(tag)
-    height_col = F.col("height").cast("double") if _has(df, "height") else F.lit(None).cast("double")
-    return df.withColumn("height", F.when(tag == "", height_col).otherwise(parsed))
+    height_col = props["height"].cast("double") if "height" in props else _null_d()
+    props["height"] = F.when(tag == "", height_col).otherwise(parsed)
 
 
-def t_elevation_to_meters(df, ctx, zoom):
+def t_elevation_to_meters(props, ctx, zoom):
     """elevation property parse -> meters else drop (ref:transforms.go:561-573)."""
-    if not _has(df, "elevation"):
-        return df
-    ev = F.coalesce(F.col("elevation").cast("string"), F.lit(""))
-    return df.withColumn("elevation", F.when(ev == "", F.lit(None)).otherwise(to_float_meters_col(ev)))
+    if "elevation" not in props:
+        return
+    ev = F.coalesce(props["elevation"].cast("string"), F.lit(""))
+    props["elevation"] = F.when(ev == "", F.lit(None)).otherwise(to_float_meters_col(ev))
 
 
-def t_pois_capacity_int(df, ctx, zoom):
+def t_pois_capacity_int(props, ctx, zoom):
     """capacity -> floor(float) else drop (ref:transforms.go:269-287)."""
-    if not _has(df, "capacity"):
-        return df
-    return df.withColumn("capacity", F.floor(try_double(F.col("capacity").cast("string"))).cast("double"))
+    if "capacity" in props:
+        props["capacity"] = F.floor(_get_d(props, "capacity")).cast("double")
 
 
-def t_pois_direction_int(df, ctx, zoom):
+def t_pois_direction_int(props, ctx, zoom):
     """direction string -> degrees (numbers truncated mod 360, cardinal
     names mapped); unparseable -> 0 (faithful to ref:transforms.go:289-299
     + util/utils.go:129-152)."""
-    if not _has(df, "direction"):
-        return df
-    d = F.lower(F.trim(F.col("direction").cast("string")))
+    if "direction" not in props:
+        return
+    raw = props["direction"]
+    d = F.lower(F.trim(raw.cast("string")))
     num = try_double(d)
     card = F.element_at(
         F.create_map(*[F.lit(v) for kv in sorted(CARDINALS.items()) for v in kv]), d
     )
     deg = F.coalesce(F.pmod(num.cast("long"), F.lit(360)).cast("double"), card, F.lit(0.0))
-    return df.withColumn("direction", F.when(F.col("direction").isNotNull(), deg))
+    props["direction"] = F.when(raw.isNotNull(), deg)
 
 
-def t_major_airport_detector(df, ctx, zoom):
+def t_major_airport_detector(props, ctx, zoom):
     """aerodrome passenger heuristics (ref:transforms.go:238-267)."""
-    if not _has(df, "kind"):
-        return df
-    detail = F.coalesce(F.col("kind_detail").cast("string"), F.lit("")) if _has(df, "kind_detail") else F.lit("")
-    passengers = (
-        F.coalesce(try_double(F.col("passenger_count").cast("string")), F.lit(0.0))
-        if _has(df, "passenger_count")
-        else F.lit(0.0)
-    )
-    is_aero = F.col("kind") == "aerodrome"
-    new_detail = (
+    if "kind" not in props:
+        return
+    detail = F.coalesce(_get_s(props, "kind_detail"), F.lit(""))
+    passengers = F.coalesce(_get_d(props, "passenger_count"), F.lit(0.0))
+    is_aero = props["kind"] == "aerodrome"
+    props["kind_detail"] = (
         F.when(is_aero & (detail != "international") & (passengers > 1000000), F.lit("international"))
         .when(is_aero & (detail == "") & (passengers > 10000), F.lit("regional"))
         .otherwise(F.nullif(detail, F.lit("")))
     )
-    if not _has(df, "kind_detail"):
-        return df.withColumn("kind_detail", new_detail)
-    return df.withColumn("kind_detail", new_detail)
 
 
-def t_place_population_int(df, ctx, zoom):
+def t_place_population_int(props, ctx, zoom):
     """population -> floor(float) else drop (ref:transforms.go:191-198)."""
-    if not _has(df, "population"):
-        return df
-    return df.withColumn("population", F.floor(try_double(F.col("population").cast("string"))).cast("double"))
+    if "population" in props:
+        props["population"] = F.floor(_get_d(props, "population")).cast("double")
 
 
 # population_rank 18-break table (ref:transforms.go:200-235)
@@ -185,75 +189,73 @@ _POPULATION_BREAKS = [
 ]
 
 
-def t_population_rank(df, ctx, zoom):
-    pop = F.coalesce(F.col("population").cast("double"), F.lit(0.0)) if _has(df, "population") else F.lit(0.0)
-    rank = F.lit(0)
+def t_population_rank(props, ctx, zoom):
+    pop = F.coalesce(_get_d(props, "population"), F.lit(0.0))
     out = None
     for i, b in enumerate(_POPULATION_BREAKS):
         c = pop >= F.lit(float(b))
         v = F.lit(len(_POPULATION_BREAKS) - i)
         out = F.when(c, v) if out is None else out.when(c, v)
-    return df.withColumn("population_rank", out.otherwise(rank).cast("double"))
+    props["population_rank"] = out.otherwise(F.lit(0)).cast("double")
 
 
-def t_admin_level_as_int(df, ctx, zoom):
+def t_admin_level_as_int(props, ctx, zoom):
     """admin_level -> floor(float) else drop (ref:transforms.go:312-322)."""
-    if not _has(df, "admin_level"):
-        return df
-    return df.withColumn("admin_level", F.floor(try_double(F.col("admin_level").cast("string"))).cast("double"))
+    if "admin_level" in props:
+        props["admin_level"] = F.floor(_get_d(props, "admin_level")).cast("double")
 
 
-def t_water_tunnel(df, ctx, zoom):
-    """tunnel tag (non-no) -> is_tunnel, drop tunnel (ref:transforms.go:301-310)."""
-    tunnel = ctx.tag_str("tunnel")
-    out = df.withColumn("is_tunnel", F.when(~tunnel.isin("", "no", "false", "0"), F.lit(True)))
-    return out.drop("tunnel") if _has(df, "tunnel") else out
+def t_water_tunnel(props, ctx, zoom):
+    """tunnel PROPERTY (non-no) -> is_tunnel, drop tunnel
+    (ref:transforms.go:301-310)."""
+    tunnel = F.coalesce(_get_s(props, "tunnel"), F.lit(""))
+    props["is_tunnel"] = F.when(~tunnel.isin("", "no", "false", "0"), F.lit(True))
+    props.pop("tunnel", None)
 
 
-def t_road_classifier(df, ctx, zoom):
-    """_link suffix -> is_link; tunnel/bridge flags (ref:transforms.go:135-155)."""
-    out = df
-    if _has(df, "kind_detail"):
-        out = out.withColumn(
-            "is_link", F.when(F.col("kind_detail").cast("string").endswith("_link"), F.lit(True))
+def t_road_classifier(props, ctx, zoom):
+    """_link suffix -> is_link; tunnel/bridge PROPERTY flags
+    (ref:transforms.go:135-155 reads properties, not raw tags)."""
+    if "kind_detail" in props:
+        props["is_link"] = F.when(
+            F.coalesce(_get_s(props, "kind_detail"), F.lit("")).endswith("_link"), F.lit(True)
         )
-    bridge = ctx.tag_str("bridge")
-    tunnel = ctx.tag_str("tunnel")
-    out = out.withColumn("is_bridge", F.when(bridge.isin("yes", "true"), F.lit(True)))
-    out = out.withColumn("is_tunnel", F.when(tunnel.isin("yes", "true"), F.lit(True)))
-    return out
+    bridge = F.coalesce(_get_s(props, "bridge"), F.lit(""))
+    tunnel = F.coalesce(_get_s(props, "tunnel"), F.lit(""))
+    props["is_bridge"] = F.when(bridge.isin("yes", "true"), F.lit(True))
+    props["is_tunnel"] = F.when(tunnel.isin("yes", "true"), F.lit(True))
 
 
-def t_road_trim_properties(df, ctx, zoom):
-    drops = [c for c in ("bridge", "tunnel") if _has(df, c)]
-    return df.drop(*drops) if drops else df
+def t_road_trim_properties(props, ctx, zoom):
+    for c in ("bridge", "tunnel"):
+        props.pop(c, None)
 
 
-def t_add_iata_code_to_airports(df, ctx, zoom):
+def t_add_iata_code_to_airports(props, ctx, zoom):
     """3-letter IATA uppercased (ref:transforms.go:440-457)."""
-    if not _has(df, "iata"):
-        return df
-    code = F.upper(F.trim(F.col("iata").cast("string")))
-    return df.withColumn("iata", F.when(code.rlike("^[A-Z]{3}$"), code))
+    if "iata" not in props:
+        return
+    code = F.upper(F.trim(_get_s(props, "iata")))
+    props["iata"] = F.when(code.rlike("^[A-Z]{3}$"), code)
 
 
-def t_add_uic_ref(df, ctx, zoom):
+def t_add_uic_ref(props, ctx, zoom):
     """7-digit uic_ref -> int (ref:transforms.go:462-478)."""
-    if not _has(df, "uic_ref"):
-        return df
-    v = F.trim(F.col("uic_ref").cast("string"))
-    return df.withColumn("uic_ref", F.when(v.rlike("^[0-9]{7}$"), v.try_cast("double")))
+    if "uic_ref" not in props:
+        return
+    v = F.trim(_get_s(props, "uic_ref"))
+    props["uic_ref"] = F.when(v.rlike("^[0-9]{7}$"), v.try_cast("double"))
 
 
-def t_route_name(df, ctx, zoom):
+def t_route_name(props, ctx, zoom):
     """route_name == name or name missing -> promote/drop
     (ref:transforms.go:176-189)."""
-    if not _has(df, "route_name"):
-        return df
-    name = F.col("name") if _has(df, "name") else F.lit(None).cast("string")
-    rn = F.col("route_name")
-    out = df.withColumn("name", F.coalesce(name, rn))
-    return out.withColumn("route_name", F.when(rn != F.coalesce(name, rn), rn))
+    if "route_name" not in props:
+        return
+    name = _get_s(props, "name")
+    rn = props["route_name"]
+    props["name"] = F.coalesce(name, rn)
+    props["route_name"] = F.when(rn != F.coalesce(name, rn), rn)
 
 
 # default place min_zoom table (ref:transforms.go:326-350)
@@ -265,28 +267,209 @@ _PLACE_DEFAULT_MZ = {
 }
 
 
-def t_calculate_default_place_min_zoom(df, ctx, zoom):
-    """kind-keyed default min_zoom, capitals promoted (-1/-2); only
-    applies when min_zoom is absent — in this engine min_zoom is always
-    set by rule eval (as in the reference pipeline, where this is
-    effectively a no-op; ref:transforms.go:355-382). Kept faithful."""
-    if "min_zoom" not in df.columns or "kind" not in df.columns:
-        return df
+def t_calculate_default_place_min_zoom(props, ctx, zoom):
+    """kind-keyed default min_zoom, capitals promoted (-1/-2); only when
+    min_zoom absent — effectively a no-op in the reference pipeline
+    where rule eval always sets min_zoom (ref:transforms.go:355-382)."""
+    if "min_zoom" not in props or "kind" not in props:
+        return
     kind_mz = F.element_at(
         F.create_map(*[F.lit(x) for kv in sorted(_PLACE_DEFAULT_MZ.items()) for x in kv]),
-        F.col("kind").cast("string"),
+        _get_s(props, "kind"),
     )
-    is_city_town = F.col("kind").isin("city", "town")
-    region_cap = F.col("region_capital").isNotNull() if "region_capital" in df.columns else F.lit(False)
-    country_cap = F.col("country_capital").isNotNull() if "country_capital" in df.columns else F.lit(False)
+    is_city_town = props["kind"].isin("city", "town")
+    region_cap = props["region_capital"].isNotNull() if "region_capital" in props else F.lit(False)
+    country_cap = props["country_capital"].isNotNull() if "country_capital" in props else F.lit(False)
     adjusted = kind_mz - F.when(is_city_town & region_cap, 1.0).when(
         is_city_town & country_cap, 2.0
     ).otherwise(0.0)
-    return df.withColumn("min_zoom", F.coalesce(F.col("min_zoom"), adjusted))
+    props["min_zoom"] = F.coalesce(props["min_zoom"], adjusted)
 
 
-def t_noop(df, ctx, zoom):
-    return df
+def t_normalize_social_kind(props, ctx, zoom):
+    """social_facility -> kind; social_facility:for split(';') -> detail
+    (ref:transforms.go:510-528)."""
+    sf = ctx.tag("social_facility")
+    if "kind" in props:
+        props["kind"] = F.coalesce(sf, props["kind"])
+    sfor = ctx.tag("social_facility:for")
+    props["for"] = F.when(sf.isNotNull(), F.split(sfor, ";"))
+
+
+def t_normalize_medical_kind(props, ctx, zoom):
+    """healthcare:speciality split(';') for clinic/doctors/dentist
+    (ref:transforms.go:534-542)."""
+    if "kind" not in props:
+        return
+    spec = ctx.tag("healthcare:speciality")
+    is_med = props["kind"].isin("clinic", "doctors", "dentist")
+    props["speciality"] = F.when(is_med, F.split(spec, ";"))
+
+
+def t_road_oneway(props, ctx, zoom):
+    """-1/reverse -> reverse geometry + oneway=yes; true/1 -> yes;
+    false/0 -> no (ref:transforms.go:162-174 + util/utils.go:114-121).
+    Geometry reverse = array reverse of the coordinate buffers (only
+    line strings are reversed, faithfully to ReverseLineDirection)."""
+    if "oneway" not in props:
+        return
+    ow = F.coalesce(props["oneway"].cast("string"), F.lit(""))
+    reverse = ow.isin("-1", "reverse") & (props["geom_type"] == "LineString")
+    if "geometry" in props:
+        g = props["geometry"]
+        reversed_geom = F.struct(
+            F.reverse(g["xs"]).alias("xs"),
+            F.reverse(g["ys"]).alias("ys"),
+            g["ring_lens"].alias("ring_lens"),
+            g["ring_roles"].alias("ring_roles"),
+        )
+        props["geometry"] = F.when(reverse, reversed_geom).otherwise(g)
+    props["oneway"] = (
+        F.when(reverse, F.lit("yes"))
+        .when(ow.isin("true", "1"), F.lit("yes"))
+        .when(ow.isin("false", "0"), F.lit("no"))
+        .otherwise(props["oneway"])
+    )
+
+
+_DIRECTIONS = {
+    "north": "N", "northeast": "NE", "east": "E", "southeast": "SE",
+    "south": "S", "southwest": "SW", "west": "W", "northwest": "NW",
+    "n": "N", "ne": "NE", "e": "E", "se": "SE",
+    "s": "S", "sw": "SW", "w": "W", "nw": "NW",
+}
+_STREET_TYPES = {
+    "ave": "Ave.", "avenue": "Ave.", "blvd": "Blvd.", "boulevard": "Blvd.",
+    "court": "Ct.", "ct": "Ct.", "dr": "Dr.", "drive": "Dr.",
+    "expressway": "Expwy.", "expwy": "Expwy.", "freeway": "Fwy.", "fwy": "Fwy.",
+    "highway": "Hwy.", "hwy": "Hwy.", "lane": "Ln.", "ln": "Ln.",
+    "parkway": "Pkwy.", "pkwy": "Pkwy.", "pl": "Pl.", "place": "Pl.",
+    "rd": "Rd.", "road": "Rd.", "st": "St.", "street": "St.",
+    "ter": "Ter.", "terrace": "Ter.", "tr": "Tr.", "trail": "Tr.",
+    "way": "Wy.", "wy": "Wy.",
+}
+
+
+def _lit_map(d: dict[str, str]) -> Column:
+    return F.create_map(*[F.lit(x) for kv in sorted(d.items()) for x in kv])
+
+
+def t_road_abbreviate_name(props, ctx, zoom):
+    """US street-name shortener (ref:transforms.go:385-392 +
+    util/streetnames/shorten.go:53-77): 'North Herp Derp Road' ->
+    'N Herp Derp Rd.' etc."""
+    if "name" not in props:
+        return
+    name = props["name"].cast("string")
+    parts = F.split(F.trim(name), r"\s+")
+    n = F.size(parts)
+    dirs = _lit_map(_DIRECTIONS)
+    types = _lit_map(_STREET_TYPES)
+    first_dir = F.element_at(dirs, F.lower(F.element_at(parts, 1)))
+    last_type = F.element_at(types, F.lower(F.element_at(parts, -1)))
+    last_dir = F.element_at(dirs, F.lower(F.element_at(parts, -1)))
+    secondlast_type = F.element_at(
+        types, F.lower(F.element_at(parts, F.greatest(n - 1, F.lit(1))))
+    )
+    case1 = (n >= 3) & first_dir.isNotNull() & last_type.isNotNull()
+    case2 = (n >= 3) & secondlast_type.isNotNull() & last_dir.isNotNull()
+    case3 = (n >= 2) & last_type.isNotNull()
+    new_parts = (
+        F.when(case1, F.concat(F.array(first_dir), F.slice(parts, 2, n - 2), F.array(last_type)))
+        .when(case2, F.concat(F.slice(parts, 1, n - 2), F.array(secondlast_type), F.array(last_dir)))
+        .when(case3, F.concat(F.slice(parts, 1, n - 1), F.array(last_type)))
+        .otherwise(parts)
+    )
+    props["name"] = F.when(
+        name.isNotNull() & (name != ""), F.array_join(new_parts, " ")
+    ).otherwise(props["name"])
+
+
+def t_normalize_aerialways(props, ctx, zoom):
+    """cableway->zip_line, yes->unknown, else drop aerialway
+    (ref:transforms.go:412-427)."""
+    if "aerialway" not in props:
+        return
+    a = F.coalesce(props["aerialway"].cast("string"), F.lit(""))
+    props["aerialway"] = (
+        F.when(a == "cableway", F.lit("zip_line"))
+        .when(a == "yes", F.lit("unknown"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def t_normalize_cycleway(props, ctx, zoom):
+    """cycleway_both -> cycleway; left==right -> merge
+    (ref:transforms.go:580-603)."""
+    cw = F.coalesce(_get_s(props, "cycleway"), F.lit(""))
+    left = F.coalesce(_get_s(props, "cycleway_left"), F.lit(""))
+    right = F.coalesce(_get_s(props, "cycleway_right"), F.lit(""))
+    both = F.coalesce(_get_s(props, "cycleway_both"), F.lit(""))
+    props.pop("cycleway_both", None)
+    cw_after_both = F.when((both != "") & (cw == ""), both).otherwise(F.nullif(cw, F.lit("")))
+    merge = (
+        (left != "") & (right != "") & (left == right)
+        & (cw_after_both.isNull() | (left == cw_after_both))
+    )
+    props["cycleway"] = F.when(merge, left).otherwise(cw_after_both)
+    props["cycleway_left"] = F.when(merge, F.lit(None)).otherwise(F.nullif(left, F.lit("")))
+    props["cycleway_right"] = F.when(merge, F.lit(None)).otherwise(F.nullif(right, F.lit("")))
+
+
+def t_add_is_bicycle_related(props, ctx, zoom):
+    """any bike signal -> is_bicycle_related=true (ref:transforms.go:610-633)."""
+    bicycle = F.coalesce(_get_s(props, "bicycle"), F.lit(""))
+    ramp = F.coalesce(_get_s(props, "ramp_bicycle"), F.lit(""))
+    related = (
+        (props["bicycle_network"].isNotNull() if "bicycle_network" in props else F.lit(False))
+        | (props["cycleway"].isNotNull() if "cycleway" in props else F.lit(False))
+        | (props["cycleway_left"].isNotNull() if "cycleway_left" in props else F.lit(False))
+        | (props["cycleway_right"].isNotNull() if "cycleway_right" in props else F.lit(False))
+        | (F.coalesce(_get_s(props, "kind_detail"), F.lit("")) == "cycleway")
+        | bicycle.isin("yes", "designated")
+        | ramp.isin("yes", "left", "right")
+    )
+    props["is_bicycle_related"] = F.when(related, F.lit(True))
+
+
+def _one_decimal(x: Column) -> Column:
+    """Go util.OneDecimalPoint: %.1f with trailing '.0' trimmed."""
+    return F.regexp_replace(F.format_string("%.1f", x), r"\.0$", "")
+
+
+def t_add_vehicle_restrictions(props, ctx, zoom):
+    """maxwidth/len/height/weight/axleload/hazmat -> hgv_restriction +
+    shield text; >1 -> 'multiple' (ref:transform/vehicle_restrictions.go:14-76)."""
+    from osmzen_spark.compiler.functions import to_float_meters_col
+
+    specs = []  # (restricted Column, kind, shield Column)
+    for key, kind in (("maxwidth", "width"), ("maxlength", "length"), ("maxheight", "height")):
+        val = F.coalesce(_get_s(props, key), F.lit(""))
+        metres = to_float_meters_col(val)
+        specs.append(((val != "") & metres.isNotNull(), kind, F.concat(_one_decimal(metres), F.lit("m"))))
+    for key, kind in (("maxweight", "weight"), ("maxaxleload", "wpa")):
+        val = F.coalesce(_get_s(props, key), F.lit(""))
+        tonnes = try_double(val)
+        specs.append(((val != "") & tonnes.isNotNull(), kind, F.concat(_one_decimal(tonnes), F.lit("t"))))
+    hazmat = F.coalesce(_get_s(props, "hazmat"), F.lit(""))
+    specs.append((hazmat == "no", "hazmat", F.lit(None).cast("string")))
+
+    count = None
+    for restricted, _, _ in specs:
+        c = F.when(restricted, 1).otherwise(0)
+        count = c if count is None else count + c
+    single_kind = F.coalesce(*[F.when(r, F.lit(k)) for r, k, _ in specs])
+    single_shield = F.coalesce(*[F.when(r, s) for r, _, s in specs if s is not None])
+    props["hgv_restriction"] = (
+        F.when(count == 0, F.lit(None).cast("string"))
+        .when(count > 1, F.lit("multiple"))
+        .otherwise(single_kind)
+    )
+    props["hgv_restriction_shield_text"] = F.when(count == 1, single_shield)
+
+
+def t_noop(props, ctx, zoom):
+    pass
 
 
 TRANSFORMS: dict[str, Callable] = {
@@ -322,18 +505,41 @@ TRANSFORMS: dict[str, Callable] = {
     "admin_level_as_int": t_admin_level_as_int,
     "water_tunnel": t_water_tunnel,
     "road_classifier": t_road_classifier,
+    "road_oneway": t_road_oneway,
+    "road_abbreviate_name": t_road_abbreviate_name,
+    "normalize_aerialways": t_normalize_aerialways,
+    "normalize_cycleway": t_normalize_cycleway,
+    "add_is_bicycle_related": t_add_is_bicycle_related,
+    "add_vehicle_restrictions": t_add_vehicle_restrictions,
     "road_trim_properties": t_road_trim_properties,
     "add_iata_code_to_airports": t_add_iata_code_to_airports,
     "add_uic_ref": t_add_uic_ref,
     "route_name": t_route_name,
+    "normalize_social_kind": t_normalize_social_kind,
+    "normalize_medical_kind": t_normalize_medical_kind,
 }
 
 
-def apply_transforms(df: DataFrame, names: list[str], zoom: int) -> DataFrame:
-    ctx = EvalContext(tags="tags", geom_type="geom_type", derived={"area": F.col("area"), "length": F.col("length")}, zoom=zoom)
+def apply_transforms_props(props: dict[str, Column], names: list[str], ctx: EvalContext, zoom: int) -> dict[str, Column]:
+    """Expression-level application: mutates and returns props."""
     for name in names:
         fn = TRANSFORMS.get(name)
         if fn is None:
             raise ValueError(f"unknown transform: {name}")
-        df = fn(df, ctx, zoom)
-    return df
+        fn(props, ctx, zoom)
+    return props
+
+
+def apply_transforms(df: DataFrame, names: list[str], zoom: int) -> DataFrame:
+    """Legacy DataFrame-at-a-time wrapper: builds a props dict from the
+    frame's columns, applies the chain, projects the result."""
+    ctx = EvalContext(
+        tags="tags",
+        geom_type="geom_type",
+        derived={"area": F.col("area"), "length": F.col("length")},
+        zoom=zoom,
+    )
+    props: dict[str, Column] = {c: F.col(c) for c in df.columns}
+    apply_transforms_props(props, names, ctx, zoom)
+    cols = [v.alias(k) for k, v in props.items()]
+    return df.select(*cols)

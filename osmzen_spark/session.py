@@ -33,10 +33,18 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # our rule-engine projections are wide (60+ emit columns); the
+        # default maxFields=100 silently disables whole-stage codegen
+        # for them (interpreted eval, ~2x slower end-to-end). Janino
+        # failures still degrade gracefully (codegen.fallback=true).
+        .config("spark.sql.codegen.maxFields", "400")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # broadcast threshold generous: rank tables / rule lookups are tiny
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # single-JVM local mode: the "driver" heap is also every
+        # executor's heap, and Catalyst holds multi-layer plans during
+        # optimization — size generously (the box has 128 GiB)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
