@@ -338,6 +338,40 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
+def q_route_networks(spark, sf_dir):
+    """Relation-membership joins (ref:filter/functions.go:161-383):
+    bicycle-network resolution, bus-route flag, and path-major-route
+    min_zoom over the synthetic network tables. Oracle re-derives the
+    same values arithmetically from orders keys."""
+    from osmzen_spark.datagen import synthetic_network
+    from osmzen_spark.pipeline.membership import with_membership_columns
+
+    elements, rels, _ = synthetic_network(spark, sf_dir)
+    ways = elements.filter(F.col("element_type") == "way")
+    derived = with_membership_columns(ways, relation_members=rels)
+    return derived.select(
+        F.col("element_id").alias("way_id"),
+        F.col("mz_cycling_network").alias("bicycle_network"),
+        F.coalesce(F.col("is_bus_route"), F.lit(False)).alias("is_bus_route"),
+        F.col("path_major_route_min_zoom").alias("path_zoom"),
+    ).orderBy("way_id")
+
+
+def q_gate_min_zoom(spark, sf_dir):
+    """Node->way membership gate zoom (ref:filter/functions.go:120-159)
+    through the pois layer rule."""
+    from osmzen_spark.datagen import synthetic_network
+    from osmzen_spark.pipeline.membership import with_membership_columns
+
+    elements, _, wn = synthetic_network(spark, sf_dir)
+    nodes = elements.filter(F.col("element_type") == "node")
+    derived = with_membership_columns(nodes, way_nodes=wn)
+    return derived.select(
+        F.col("element_id").alias("node_id"),
+        F.col("gate_min_zoom").alias("gate_min_zoom"),
+    ).orderBy("node_id")
+
+
 def q_normalize_buildings(spark, sf_dir):
     """The flagship rule-engine slice as an oracle-checkable query:
     synthetic building elements -> mercator area -> first-match tier ->
@@ -362,13 +396,20 @@ def q_normalize_buildings(spark, sf_dir):
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: full normalize+tile over synthetic elements at sf0.001."""
-    from osmzen_spark.datagen import synthetic_elements
+    """Flagship: full normalize+tile over synthetic elements (buildings/
+    pois/landuse polygons + road/path network with relation memberships)
+    at sf0.001."""
+    from osmzen_spark.datagen import synthetic_elements, synthetic_network
     from osmzen_spark.pipeline.normalize import NormalizeEngine
 
-    elements = synthetic_elements(spark, "/root/testdata/sf0.001")
+    sf_dir = "/root/testdata/sf0.001"
+    elements = synthetic_elements(spark, sf_dir)
+    net_elements, rels, way_nodes = synthetic_network(spark, sf_dir)
     engine = NormalizeEngine()
-    out = engine.process_unioned(elements, zoom=20, tile_zoom=14)
+    out = engine.process_unioned(
+        elements.unionByName(net_elements), zoom=20, tile_zoom=14,
+        relation_members=rels, way_nodes=way_nodes,
+    )
     scalar_cols = [
         "id", "type", "zen_layer", "min_zoom", "kind", "kind_detail", "name",
         "area", "height", "volume", "sort_rank", "scale_rank",
@@ -396,6 +437,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": q_minhash_near_dup,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
+        "route_networks": q_route_networks,
+        "gate_min_zoom": q_gate_min_zoom,
         "normalize_buildings": q_normalize_buildings,
     }
 
@@ -561,6 +604,36 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM lineitem
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "route_networks": """
+            SELECT o_orderkey + 10000000000 AS way_id,
+                   CASE WHEN o_orderkey % 3 = 0
+                        THEN ['icn','ncn','rcn','lcn'][CAST(o_orderkey % 4 AS INT) + 1]
+                   END AS bicycle_network,
+                   (o_orderkey % 5 = 0) AS is_bus_route,
+                   LEAST(
+                     CASE WHEN o_orderkey % 3 = 0 THEN
+                       CASE CAST(o_orderkey % 4 AS INT)
+                         WHEN 0 THEN 8.0 WHEN 1 THEN 8.0 WHEN 2 THEN 10.0 ELSE 11.0 END
+                     ELSE 20.0 END,
+                     CASE WHEN o_orderkey % 7 = 0 THEN
+                       CASE CAST(o_orderkey % 4 AS INT)
+                         WHEN 0 THEN 9.0 WHEN 1 THEN 9.0 WHEN 2 THEN 11.0 ELSE 12.0 END
+                     ELSE 20.0 END
+                   ) AS path_zoom
+            FROM orders ORDER BY way_id
+        """,
+        "gate_min_zoom": """
+            SELECT o_orderkey + 20000000000 AS node_id,
+                   CASE CAST(o_orderkey % 7 AS INT)
+                     WHEN 4 THEN 14.0
+                     WHEN 5 THEN 15.0
+                     WHEN 0 THEN 17.0
+                     ELSE 16.0
+                   END AS gate_min_zoom
+            FROM orders
+            WHERE o_orderkey % 2 = 0
+            ORDER BY node_id
         """,
         # text_stats / minhash / simhash / cosine_topk / normalize_buildings:
         # text_stats oracle below; hash-based ops are rows-only by design.

@@ -41,12 +41,17 @@ def _noop(df):
 
 
 def flagship(spark, sf_dir, replicate: int = 1):
-    from osmzen_spark.datagen import synthetic_elements
+    from osmzen_spark.datagen import synthetic_elements, synthetic_network
     from osmzen_spark.pipeline.normalize import NormalizeEngine
 
     elements = synthetic_elements(spark, sf_dir, replicate=replicate)
+    net_elements, rels, way_nodes = synthetic_network(spark, sf_dir, replicate=replicate)
+    elements = elements.unionByName(net_elements)
     engine = NormalizeEngine()
-    return engine.process_unioned(elements, zoom=20, tile_zoom=14, cache=False)
+    return engine.process_unioned(
+        elements, zoom=20, tile_zoom=14, cache=False,
+        relation_members=rels, way_nodes=way_nodes,
+    )
 
 
 def run_benchmarks(spark, sf_dir):

@@ -118,6 +118,13 @@ class CompiledLayer:
         ``keep_cols`` passed through (payload columns ride along).
         """
         base_derived = {"area": F.col("area"), "length": F.col("length")}
+        # membership-join derived columns (pipeline.membership) are
+        # picked up automatically when the pre-join stage has run
+        from osmzen_spark.pipeline.membership import MEMBERSHIP_COLS
+
+        for mc in MEMBERSHIP_COLS:
+            if mc in df.columns:
+                base_derived[mc] = F.col(mc)
         base_derived.update(derived or {})
         ctx = EvalContext(tags="tags", geom_type="geom_type", derived=base_derived, zoom=zoom)
 

@@ -47,6 +47,12 @@ def load_config(config_dir: str | None = None) -> CompiledConfig:
         params = dict(entry.get("params", {}))
         if "csv" in params:
             params["matcher"] = CSVMatcher.from_path(os.path.join(config_dir, params.pop("csv")))
+        if "ranker" in params:
+            from osmzen_spark.pipeline.collision import CollisionRanker
+
+            params["ranker"] = CollisionRanker.from_path(
+                os.path.join(config_dir, params["ranker"])
+            )
         steps.append(PostProcessStep(fn=entry["fn"], params=params))
 
     return CompiledConfig(layers=layers, postprocess=steps, config_dir=config_dir)

@@ -149,6 +149,136 @@ def synthetic_elements(spark: SparkSession, sf_dir: str, replicate: int = 1) -> 
     )
 
 
+def _line_geometry(lon, lat, dlon, dlat):
+    """Two-point LineString."""
+    return F.struct(
+        F.array(lon, lon + dlon).alias("xs"),
+        F.array(lat, lat + dlat).alias("ys"),
+        F.array(F.lit(2)).alias("ring_lens"),
+        F.array(F.lit(0)).alias("ring_roles"),
+    )
+
+
+_WAY_BASE = 10_000_000_000
+_GATE_BASE = 20_000_000_000
+_BIKE_REL_BASE = 30_000_000_000
+_BUS_REL_BASE = 40_000_000_000
+_HIKE_REL_BASE = 50_000_000_000
+
+_BIKE_NETS = ["icn", "ncn", "rcn", "lcn"]
+_HIKE_NETS = ["iwn", "nwn", "rwn", "lwn"]
+
+
+def synthetic_network(
+    spark: SparkSession, sf_dir: str, replicate: int = 1
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Deterministic road/path elements + membership tables, one way per
+    orders row (x replicate). Exercises the membership-join functions
+    (pipeline.membership): bicycle/bus/hiking route relations and gate
+    nodes on ways of varying highway class.
+
+    Returns (elements, relation_members, way_nodes):
+
+    * elements — LineString ways (highway classes cycle key%7) plus a
+      barrier=gate node on every even-keyed way, in the standard
+      elements schema.
+    * relation_members — (relation_id, member_type, member_id, rel_tags):
+      key%3==0 ways belong to a bicycle route (network cycles
+      icn/ncn/rcn/lcn), key%5==0 to a bus route, key%7==0 to a hiking
+      route (iwn/nwn/rwn/lwn).
+    * way_nodes — (way_id, node_id, way_tags) linking each gate node to
+      its containing way.
+    """
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = o.repartition(spark.sparkContext.defaultParallelism)
+    if replicate > 1:
+        o = o.withColumn("_rep", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))))
+    else:
+        o = o.withColumn("_rep", F.lit(0))
+    key = (F.col("o_orderkey") * replicate + F.col("_rep")).cast("long")
+    base = o.select(
+        key.alias("k"),
+        (F.pmod(key * 6151, F.lit(360_000_000)) / 1_000_000.0 - 180.0).alias("lon"),
+        (F.pmod(key * 4271, F.lit(150_000_000)) / 1_000_000.0 - 75.0).alias("lat"),
+        F.pmod(key, F.lit(7)).cast("int").alias("cls"),
+    )
+    return _network_from_base(base)
+
+
+def _network_from_base(base: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    k, lon, lat, cls = F.col("k"), F.col("lon"), F.col("lat"), F.col("cls")
+    hw = F.element_at(
+        F.array(*[F.lit(h) for h in
+                  ["cycleway", "path", "footway", "residential", "motorway", "secondary", "track"]]),
+        cls + 1,
+    )
+    name = F.concat(F.lit("way "), k.cast("string"))
+    way_tags = (
+        F.when(cls == 4, F.create_map(
+            F.lit("highway"), hw, F.lit("name"), name,
+            F.lit("ref"), F.concat(F.lit("I "), F.pmod(k, F.lit(99)).cast("string")),
+            F.lit("network"), F.lit("US:I"),
+        ))
+        .when(cls.isin(3, 5), F.create_map(F.lit("highway"), hw, F.lit("name"), name))
+        .otherwise(F.create_map(F.lit("highway"), hw))
+    )
+    dlon = (F.pmod(k, F.lit(50)) + 5) / 100_000.0
+    dlat = (F.pmod(k, F.lit(30)) + 5) / 100_000.0
+    ways = base.select(
+        (k + F.lit(_WAY_BASE)).alias("element_id"),
+        F.lit("way").alias("element_type"),
+        way_tags.alias("tags"),
+        F.lit("LineString").alias("geom_type"),
+        _line_geometry(lon, lat, dlon, dlat).alias("geometry"),
+        lon.alias("lon"),
+        lat.alias("lat"),
+    )
+
+    gates = base.filter(F.pmod(k, F.lit(2)) == 0).select(
+        (k + F.lit(_GATE_BASE)).alias("element_id"),
+        F.lit("node").alias("element_type"),
+        F.create_map(F.lit("barrier"), F.lit("gate")).alias("tags"),
+        F.lit("Point").alias("geom_type"),
+        _point_geometry(lon, lat).alias("geometry"),
+        lon.alias("lon"),
+        lat.alias("lat"),
+    )
+    elements = ways.unionByName(gates)
+
+    way_nodes = base.filter(F.pmod(k, F.lit(2)) == 0).select(
+        (k + F.lit(_WAY_BASE)).alias("way_id"),
+        (k + F.lit(_GATE_BASE)).alias("node_id"),
+        way_tags.alias("way_tags"),
+    )
+
+    def rel(filter_mod: int, rel_base: int, tags: F.Column) -> DataFrame:
+        return base.filter(F.pmod(k, F.lit(filter_mod)) == 0).select(
+            (k + F.lit(rel_base)).alias("relation_id"),
+            F.lit("way").alias("member_type"),
+            (k + F.lit(_WAY_BASE)).alias("member_id"),
+            tags.alias("rel_tags"),
+        )
+
+    bike_net = F.element_at(F.array(*[F.lit(n) for n in _BIKE_NETS]), F.pmod(k, F.lit(4)).cast("int") + 1)
+    hike_net = F.element_at(F.array(*[F.lit(n) for n in _HIKE_NETS]), F.pmod(k, F.lit(4)).cast("int") + 1)
+    bike = rel(3, _BIKE_REL_BASE, F.create_map(
+        F.lit("type"), F.lit("route"), F.lit("route"), F.lit("bicycle"),
+        F.lit("network"), bike_net,
+        F.lit("ref"), F.pmod(k, F.lit(100)).cast("string"),
+    ))
+    bus = rel(5, _BUS_REL_BASE, F.create_map(
+        F.lit("type"), F.lit("route"), F.lit("route"), F.lit("bus"),
+        F.lit("ref"), F.pmod(k, F.lit(20)).cast("string"),
+    ))
+    hike = rel(7, _HIKE_REL_BASE, F.create_map(
+        F.lit("type"), F.lit("route"), F.lit("route"), F.lit("hiking"),
+        F.lit("network"), hike_net,
+        F.lit("ref"), F.pmod(k, F.lit(50)).cast("string"),
+    ))
+    relation_members = bike.unionByName(bus, allowMissingColumns=False).unionByName(hike)
+    return elements, relation_members, way_nodes
+
+
 def synthetic_images(spark: SparkSession, sf_dir: str, w: int = 8, h: int = 8) -> DataFrame:
     """Payload table (input_hint shape). bytes = deterministic raw RGB
     derived from the id — decodable without codecs (fmt='raw': w*h*3

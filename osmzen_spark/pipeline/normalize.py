@@ -32,9 +32,21 @@ class NormalizeEngine:
     def __init__(self, config: CompiledConfig | None = None):
         self.config = config or load_config()
 
-    def derive(self, elements: DataFrame) -> DataFrame:
-        """Stage 1: geometry-derived columns (area/length/clon/clat)."""
-        return with_geometry_stats(elements)
+    def derive(
+        self,
+        elements: DataFrame,
+        relation_members: DataFrame | None = None,
+        way_nodes: DataFrame | None = None,
+    ) -> DataFrame:
+        """Stage 1: geometry-derived columns (area/length/clon/clat),
+        plus membership-join columns when the membership tables are
+        supplied (pipeline.membership)."""
+        out = with_geometry_stats(elements)
+        if relation_members is not None or way_nodes is not None:
+            from osmzen_spark.pipeline.membership import with_membership_columns
+
+            out = with_membership_columns(out, relation_members, way_nodes)
+        return out
 
     @staticmethod
     def _point_in_bound(bound, lon_col: str = "clon", lat_col: str = "clat"):
@@ -101,6 +113,9 @@ class NormalizeEngine:
         cache: bool = False,
         single_pass: bool = False,
         bound: tuple[float, float, float, float] | None = None,
+        relation_members: DataFrame | None = None,
+        way_nodes: DataFrame | None = None,
+        clip: bool = True,
     ) -> dict[str, DataFrame]:
         """Full pipeline; returns {layer_name: DataFrame} with tile
         columns (tile_z/tile_x/tile_y/cell) appended.
@@ -129,7 +144,7 @@ class NormalizeEngine:
         names = layer_names or list(self.config.layers)
         tz = tile_zoom if tile_zoom is not None else min(zoom, 16)
         if single_pass:
-            derived = self.derive(elements)
+            derived = self.derive(elements, relation_members, way_nodes)
             if bound is not None:
                 derived = derived.filter(
                     (F.col("geom_type") != "Point") | self._point_in_bound(bound)
@@ -143,7 +158,15 @@ class NormalizeEngine:
                 union = union.persist()
             layers = split_layers(union, names)
         else:
-            derived = self.derive(elements)
+            derived = self.derive(elements, relation_members, way_nodes)
+            if relation_members is not None or way_nodes is not None:
+                # cut the plan at the membership join: without this the
+                # join+aggregation subtree is duplicated into every layer
+                # branch (and every postprocess self-join on top), and
+                # Catalyst analysis cost multiplies accordingly. On a
+                # cluster this cut is the Iceberg stage checkpoint
+                # (lineage.py).
+                derived = derived.localCheckpoint(eager=False)
             layers = self.eval_layers(derived, zoom, names, bound=bound)
             if cache:
                 # truncate each layer's plan before post-processing:
@@ -157,6 +180,15 @@ class NormalizeEngine:
                 # lineage.py).
                 layers = {n: df.localCheckpoint(eager=False) for n, df in layers.items()}
         layers = self.postprocess(layers, zoom, bound=bound)
+        if bound is not None and clip:
+            # hard-wired final step for per-tile runs: clip geometry to
+            # the (padded) bound and delete the raw-tags stash
+            # (ref:process.go:115-122)
+            from osmzen_spark.geom.clip import clip_and_wrap
+
+            clip_factors = {n: l.clip_factor for n, l in self.config.layers.items()}
+            layers = clip_and_wrap(layers, bound, clip_factors)
+            layers = {n: df.drop("tags") for n, df in layers.items()}
         return {name: with_tile(df, tz) for name, df in layers.items()}
 
     def process_unioned(self, elements: DataFrame, zoom: int = 20, **kw) -> DataFrame:

@@ -482,7 +482,324 @@ def remove_duplicate_features(layers, zoom, params):
     return out
 
 
+# ---------------------------------------------------------------------------
+# road_networks (ref:postprocess/networks.go:15-525): merge network/ref
+# tags into mz_networks triples, extract per-route-type network/shield
+# arrays, and choose the most important entry. Entirely JVM-side array
+# expressions (transform/filter/array_sort) — no shuffle, no UDF.
+# ---------------------------------------------------------------------------
+
+# operator -> country backfill (ref:postprocess/networks.go:57-100)
+_NETWORK_OPERATORS = {
+    "Highways England": "GB",
+    "ASF": "FR",
+    "Autopista Litoral Sul": "BR",
+    "DNIT": "BR",
+    "Εγνατία Οδός": "GR",
+    "Αυτοκινητόδρομος Αιγαίου": "GR",
+    "Transport Scotland": "GB",
+    "The Danish Road Directorate": "DK",
+    "Autostrade per l' Italia S.P.A.": "IT",
+    "Νέα Οδός": "GR",
+    "Autostrada dei Fiori S.P.A.": "IT",
+    "S.A.L.T.": "IT",
+    "Welsh Government": "GB",
+    "Euroscut": "PT",
+    "DIRIF": "FR",
+    "Administración central": "ES",
+    "Αττική Οδός": "GR",
+    "Autocamionale della Cisa S.P.A.": "IT",
+    "Κεντρική Οδός": "GR",
+    "Bundesrepublik Deutschland": "DE",
+    "Ecovias": "BR",
+    "東日本高速道路": "JP",
+    "NovaDutra": "BR",
+    "APRR": "FR",
+    "Via Solutions Südwest": "DE",
+    "Autoroutes du Sud de la France": "FR",
+    "Transport for Scotland": "GB",
+    "Departamento de Infraestructuras Viarias y Movilidad": "ES",
+    "ViaRondon": "BR",
+    "DIRNO": "FR",
+    "SATAP": "IT",
+    "Ολυμπία Οδός": "GR",
+    "Midland Expressway Ltd": "GB",
+    "autobahnplus A8 GmbH": "DE",
+    "Cart": "BR",
+    "Μορέας": "GR",
+    "Hyderabad Metropolitan Development Authority": "PK",
+    "Viapar": "BR",
+    "Autostrade Centropadane": "IT",
+    "Triângulo do Sol": "BR",
+}
+
+_HIKING_NETS = ("iwn", "nwn", "rwn", "lwn")
+_BIKE_NETS = ("icn", "ncn", "rcn", "lcn")
+_CC_PAT = r"(?i)^([a-z][a-z])[:-](.*)"
+
+
+def _fixup_network_cc(n: Column) -> Column:
+    """aa:/aa- country-code prefixes uppercased; 'roads' suffix
+    singularized (ref:postprocess/networks.go:157-173)."""
+    cc = F.regexp_extract(n, _CC_PAT, 1)
+    suffix = F.regexp_extract(n, _CC_PAT, 2)
+    suffix = F.when(F.lower(suffix) == "roads", F.lit("road")).otherwise(suffix)
+    return F.when(cc == "", n).otherwise(F.concat(F.upper(cc), F.lit(":"), suffix))
+
+
+def _guess_type_from_network(n: Column) -> Column:
+    """ref:postprocess/networks.go:176-190."""
+    return (
+        F.when(n.isin(*_HIKING_NETS), F.lit("hiking"))
+        .when(n.isin(*_BIKE_NETS), F.lit("bicycle"))
+        .otherwise(F.lit("road"))
+    )
+
+
+def _road_shield_text(n: Column, r: Column) -> Column:
+    """ref:postprocess/networks.go:460-519 (regex extraction chain)."""
+    ua = F.regexp_extract(r, r"(?i)^(\w)-(\d+)-(\d+)$", 0)
+    ua_text = F.concat(
+        F.regexp_extract(r, r"(?i)^(\w)-(\d+)-(\d+)$", 1),
+        F.regexp_extract(r, r"(?i)^(\w)-(\d+)-(\d+)$", 2),
+        F.regexp_extract(r, r"(?i)^(\w)-(\d+)-(\d+)$", 3),
+    )
+    num_front = F.regexp_extract(r, r"^(\d+\w*)", 1)
+    letter_front = F.regexp_extract(r, r"^([^\W\d]) *(\d+)", 0)
+    letter_front_text = F.concat(
+        F.regexp_extract(r, r"^([^\W\d]) *(\d+)", 1),
+        F.regexp_extract(r, r"^([^\W\d]) *(\d+)", 2),
+    )
+    letters_num = F.regexp_extract(r, r"(?i)^[^\d\s_]+[ -]?([\d]+)", 1)
+    return (
+        F.when(r == "", F.lit(""))
+        .when(r == "FI-PI-LI", r)
+        .when(n == "US:PA:Belt", r)
+        .when(n.startswith("ua:") & (ua != ""), ua_text)
+        .when(n.startswith("GR:") | n.startswith("gr:"), r)
+        .when(num_front != "", num_front)
+        .when(letter_front != "", letter_front_text)
+        .when(letters_num != "", letters_num)
+        .otherwise(r)
+    )
+
+
+def _atoi(s: Column) -> Column:
+    """Go strconv.Atoi: full-string integer parse else failure (NULL)."""
+    return F.trim(s).try_cast("int")
+
+
+def _road_importance(n: Column, shield: Column) -> Column:
+    """ref:postprocess/networks.go:350-397 — lower is more important;
+    importance is computed on (network, SHIELD text)."""
+    nc = (
+        F.when((n == "US:I") | n.contains(":national"), F.lit(1))
+        .when((n == "US:US") | n.contains("regional"), F.lit(2))
+        .otherwise(F.size(F.split(n, ":")) + 3)
+    )
+    digits = F.regexp_extract(shield, r"[^0-9]*([0-9]+)", 1)
+    rc = F.coalesce(_atoi(shield), digits.try_cast("int"), F.lit(0))
+    rc = F.least(F.abs(rc), F.lit(9999))
+    return F.when(n == "", F.lit(9999)).otherwise(nc * 10000 + rc)
+
+
+def _generic_importance(n: Column, shield: Column, codes: dict[str, int] | None) -> Column:
+    """ref:postprocess/networks.go:399-446."""
+    if codes:
+        chain = None
+        for k, v in codes.items():
+            chain = F.when(n == k, v) if chain is None else chain.when(n == k, v)
+        code = F.coalesce(chain, F.lit(len(codes)))
+    else:
+        code = F.lit(0)
+    rc = F.greatest(F.coalesce(_atoi(shield), F.lit(0)), F.lit(0))
+    rc = F.least(rc, F.lit(9999))
+    return F.when(shield == "", code * 10000 + 9999).otherwise(code * 10000 + rc)
+
+
+_WALKING_CODES = {"iwn": 1, "nwn": 2, "rwn": 3, "lwn": 4}
+_BICYCLE_CODES = {"icn": 1, "ncn": 2, "rcn": 3, "lcn": 4}
+
+# (prefix, route values, road-style shield+importance?)
+_NETWORK_GROUPS = [
+    ("", ("road",), True),
+    ("walking_", ("foot", "hiking"), False),
+    ("bicycle_", ("bicycle",), False),
+    ("bus_", ("bus", "trolleybus"), False),
+]
+
+
+def road_networks(layers, zoom, params):
+    """merge -> extract -> choose (ref:postprocess/networks.go:15-525).
+
+    Deviation from the Go port: Go uses an unstable sort over equal
+    importance keys; here ties keep first-seen triple order
+    (deterministic under distributed execution)."""
+    layer = params["layer"]
+    if layer not in layers:
+        return layers
+    df = layers[layer]
+    if "mz_networks" not in df.columns and "network" not in df.columns:
+        return layers
+
+    def scol(name: str) -> Column:
+        return (
+            F.coalesce(F.col(name).cast("string"), F.lit(""))
+            if name in df.columns
+            else F.lit("")
+        )
+
+    empty_triples = F.array().cast(
+        "array<struct<route:string,network:string,ref:string>>"
+    )
+    mz = (
+        F.coalesce(F.col("mz_networks"), empty_triples)
+        if "mz_networks" in df.columns
+        else empty_triples
+    )
+    mz = F.transform(
+        mz,
+        lambda t: F.struct(
+            F.coalesce(t["route"], F.lit("")).alias("route"),
+            F.coalesce(t["network"], F.lit("")).alias("network"),
+            F.coalesce(t["ref"], F.lit("")).alias("ref"),
+        ),
+    )
+
+    # -- mergeNetworksFromTags (ref:networks.go:102-153) ------------------
+    # in-place pass: country-code fixup on road triples; ';'-refs keep the
+    # LAST segment in place...
+    part1 = F.transform(
+        mz,
+        lambda t: F.struct(
+            t["route"].alias("route"),
+            F.when(
+                (t["route"] == "road") & (t["network"] != ""), _fixup_network_cc(t["network"])
+            )
+            .otherwise(t["network"])
+            .alias("network"),
+            F.when(
+                t["ref"].contains(";"), F.element_at(F.split(t["ref"], ";"), -1)
+            )
+            .otherwise(t["ref"])
+            .alias("ref"),
+        ),
+    )
+    # ...and append the other segments with the ORIGINAL (pre-fixup)
+    # network — a faithful Go quirk: the local `n` is read before the
+    # in-place fixup (ref:networks.go:124-135)
+    part2 = F.flatten(
+        F.transform(
+            mz,
+            lambda t: F.when(
+                t["ref"].contains(";"),
+                F.transform(
+                    F.slice(F.split(t["ref"], ";"), 1, F.size(F.split(t["ref"], ";")) - 1),
+                    lambda r: F.struct(
+                        t["route"].alias("route"),
+                        t["network"].alias("network"),
+                        r.alias("ref"),
+                    ),
+                ),
+            ).otherwise(empty_triples),
+        )
+    )
+    merged = F.concat(part1, part2)
+
+    # operator -> network backfill, then move own network+ref into the
+    # triple list (ref:networks.go:139-153)
+    op_map = F.create_map(*[F.lit(x) for kv in _NETWORK_OPERATORS.items() for x in kv])
+    net_tag = scol("network")
+    net_eff = F.when(
+        net_tag == "", F.coalesce(F.element_at(op_map, scol("operator")), F.lit(""))
+    ).otherwise(net_tag)
+    ref_tag = scol("ref")
+    has_own = (net_eff != "") & (ref_tag != "")
+    own = F.struct(
+        _guess_type_from_network(net_eff).alias("route"),
+        net_eff.alias("network"),
+        ref_tag.alias("ref"),
+    )
+    merged = F.when(has_own, F.concat(merged, F.array(own))).otherwise(merged)
+
+    out_df = df.withColumn("__mzn", merged).withColumn("__has_own", has_own)
+
+    # -- extract + choose per route-type group (ref:networks.go:192-348) --
+    new_cols: dict[str, Column] = {}
+    for prefix, routes, is_road in _NETWORK_GROUPS:
+        def shield(t, _is_road=is_road):
+            return (
+                _road_shield_text(t["network"], t["ref"]) if _is_road else t["ref"]
+            )
+
+        pairs = F.filter(
+            F.transform(
+                F.col("__mzn"),
+                lambda t: F.struct(
+                    t["route"].alias("route"),
+                    t["network"].alias("network"),
+                    shield(t).alias("shield"),
+                ),
+            ),
+            lambda p: p["route"].isin(*routes),
+        )
+        if is_road:
+            imp = lambda p: _road_importance(p["network"], p["shield"])  # noqa: E731
+        elif prefix == "walking_":
+            imp = lambda p: _generic_importance(p["network"], p["shield"], _WALKING_CODES)  # noqa: E731
+        elif prefix == "bicycle_":
+            imp = lambda p: _generic_importance(p["network"], p["shield"], _BICYCLE_CODES)  # noqa: E731
+        else:
+            imp = lambda p: _generic_importance(p["network"], p["shield"], None)  # noqa: E731
+        with_imp = F.transform(
+            pairs,
+            lambda p, i: F.struct(
+                imp(p).alias("imp"),
+                i.alias("pos"),  # stable tie-break (deterministic)
+                p["network"].alias("network"),
+                p["shield"].alias("shield"),
+            ),
+        )
+        g = F.array_sort(with_imp)
+        gname = f"__g_{prefix or 'road'}"
+        out_df = out_df.withColumn(gname, g)
+        gc = F.col(gname)
+        nonempty = F.size(gc) > 0
+        # `network` prop: overwritten by the sorted winner when the group
+        # is non-empty; otherwise keeps the tag value unless the merge
+        # moved it into the triples (ref:networks.go:146-151,313-340)
+        prev_net = F.when(F.col("__has_own"), F.lit(None)).otherwise(
+            F.nullif(scol("network"), F.lit("")) if "network" in df.columns else F.lit(None)
+        )
+        new_cols[f"{prefix}network"] = F.when(
+            nonempty, F.element_at(gc, 1)["network"]
+        ).otherwise(prev_net if prefix == "" else F.lit(None).cast("string"))
+        new_cols[f"{prefix}shield_text"] = F.when(nonempty, F.element_at(gc, 1)["shield"])
+        new_cols[f"all_{prefix}networks"] = F.when(
+            nonempty, F.transform(gc, lambda e: e["network"])
+        )
+        new_cols[f"all_{prefix}shield_texts"] = F.when(
+            nonempty, F.transform(gc, lambda e: e["shield"])
+        )
+
+    if "ref" in df.columns:
+        new_cols["ref"] = F.when(F.col("__has_own"), F.lit(None)).otherwise(F.col("ref"))
+    out_df = out_df.withColumns(new_cols)
+    out_df = out_df.drop("mz_networks", "__mzn", "__has_own", *[f"__g_{p or 'road'}" for p, _, _ in _NETWORK_GROUPS])
+    out = dict(layers)
+    out[layer] = out_df
+    return out
+
+
+def _add_collision_rank(layers, zoom, params):
+    from osmzen_spark.pipeline.collision import add_collision_rank
+
+    return add_collision_rank(layers, zoom, params)
+
+
 POSTPROCESSORS = {
+    "road_networks": road_networks,
+    "add_collision_rank": _add_collision_rank,
     "handle_label_placement": handle_label_placement,
     "drop_features_where": drop_features_where,
     "update_parenthetical_properties": update_parenthetical_properties,

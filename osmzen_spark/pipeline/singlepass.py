@@ -43,6 +43,11 @@ def eval_all_layers_single_pass(
 ) -> DataFrame:
     names = layer_names or list(config.layers)
     base_derived = {"area": F.col("area"), "length": F.col("length")}
+    from osmzen_spark.pipeline.membership import MEMBERSHIP_COLS
+
+    for mc in MEMBERSHIP_COLS:
+        if mc in derived.columns:
+            base_derived[mc] = F.col(mc)
     base_derived.update(derived_extra or {})
     ctx = EvalContext(tags="tags", geom_type="geom_type", derived=base_derived, zoom=zoom)
 

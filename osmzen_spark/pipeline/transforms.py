@@ -468,6 +468,76 @@ def t_add_vehicle_restrictions(props, ctx, zoom):
     props["hgv_restriction_shield_text"] = F.when(count == 1, single_shield)
 
 
+# operator alias -> canonical (ref:transforms.go:635-661)
+_OPERATOR_ALIASES = {
+    "United States National Park Service": [
+        "National Park Service",
+        "US National Park Service",
+        "U.S. National Park Service",
+        "US National Park service",
+    ],
+    "United States Forest Service": [
+        "US Forest Service",
+        "U.S. Forest Service",
+        "USDA Forest Service",
+        "United States Department of Agriculture",
+        "US National Forest Service",
+        "United State Forest Service",
+        "U.S. National Forest Service",
+    ],
+    "National Parks & Wildife Service NSW": [
+        "Department of National Parks NSW",
+        "Dept of NSW National Parks",
+        "Dept of National Parks NSW",
+        "NSW National Parks",
+        "NSW National Parks & Wildlife Service",
+        "NSW National Parks and Wildlife Service",
+        "NSW Parks and Wildlife Service",
+        "NSW Parks and Wildlife Service (NPWS)",
+        "National Parks and Wildlife NSW",
+        "National Parks and Wildlife Service NSW",
+    ],
+}
+_OPERATOR_LOOKUP = {alias: canon for canon, aliases in _OPERATOR_ALIASES.items() for alias in aliases}
+
+
+def t_normalize_operator_values(props, ctx, zoom):
+    """Promote canonical operator names (ref:transforms.go:662-690)."""
+    if "operator" not in props:
+        return
+    op = _get_s(props, "operator")
+    m = F.create_map(*[F.lit(x) for kv in sorted(_OPERATOR_LOOKUP.items()) for x in kv])
+    props["operator"] = F.coalesce(F.element_at(m, op), props["operator"])
+
+
+# ref:transforms.go:755-765 (also used by collision/drop_names)
+_TAG_NAME_ALTERNATES = (
+    "int_name",
+    "loc_name",
+    "nat_name",
+    "official_name",
+    "old_name",
+    "reg_name",
+    "short_name",
+    "name_left",
+    "name_right",
+    "name:short",
+)
+
+
+def t_tags_name_i18n(props, ctx, zoom):
+    """Copy alternate-name tags to properties when the feature is named
+    and the alternate differs from name. The reference's full language
+    normalization is deliberately unimplemented there too
+    (ref:transforms.go:694-752)."""
+    name = ctx.tag_str("name")
+    for alt in _TAG_NAME_ALTERNATES:
+        v = ctx.tag_str(alt)
+        col = F.when((name != "") & (v != "") & (v != name), v)
+        existing = props.get(alt)
+        props[alt] = F.coalesce(existing, col) if existing is not None else col
+
+
 def t_noop(props, ctx, zoom):
     pass
 
@@ -517,6 +587,8 @@ TRANSFORMS: dict[str, Callable] = {
     "route_name": t_route_name,
     "normalize_social_kind": t_normalize_social_kind,
     "normalize_medical_kind": t_normalize_medical_kind,
+    "tags_name_i18n": t_tags_name_i18n,
+    "normalize_operator_values": t_normalize_operator_values,
 }
 
 

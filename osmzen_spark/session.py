@@ -41,6 +41,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # broadcast threshold generous: rank tables / rule lookups are tiny
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # constraint propagation walks every filter/join predicate tree
+        # per plan node; with 500-rule when-chains + membership joins it
+        # turns optimization into minutes of single-threaded driver CPU
+        # (observed: >30 min at sf0.01). The inferred IsNotNull/equality
+        # constraints buy nothing here — every predicate is already
+        # explicit — so turn it off engine-wide.
+        .config("spark.sql.constraintPropagation.enabled", "false")
         # single-JVM local mode: the "driver" heap is also every
         # executor's heap, and Catalyst holds multi-layer plans during
         # optimization — size generously (the box has 128 GiB)
