@@ -106,17 +106,34 @@ class CompiledLayer:
         zoom: int,
         derived: dict[str, Column] | None = None,
         keep_cols: list[str] | None = None,
+        use_arrow: bool | None = None,
     ) -> DataFrame:
         """Run the layer over an elements DataFrame.
 
-        Expects columns: element_id, element_type, tags, geom_type, and
-        the derived geometry columns (area, length, clon, clat) — see
-        geom.derive.with_geometry_stats.
+        Two physical strategies producing identical results:
 
-        Returns one row per matching feature with the layer's output
-        properties as columns, plus id/type/layer/min_zoom and any
-        ``keep_cols`` passed through (payload columns ride along).
+        * Arrow-batch vectorized evaluator (default; compiler/
+          arrow_layer.py) — rules compiled once to NumPy closures, one
+          mapInArrow node. Plan construction and Catalyst analysis are
+          O(1) in rule count (the 279-rule pois layer costs ~110 s of
+          py4j + ~70 s of analysis on the Column path).
+        * Catalyst Column chains (use_arrow=False or
+          OSMZEN_COLUMN_EVAL=1) — kept for A/B verification and for
+          callers passing custom ``derived`` columns.
         """
+        import os
+
+        if use_arrow is None:
+            use_arrow = os.environ.get("OSMZEN_COLUMN_EVAL", "0") != "1"
+        if use_arrow and derived is None and keep_cols is None:
+            from osmzen_spark.compiler.arrow_layer import evaluate_layer_arrow
+
+            return evaluate_layer_arrow(self, df, zoom)
+
+        # --- Catalyst Column path (expects element_id, element_type,
+        # tags, geom_type + derived area/length/clon/clat columns;
+        # returns one row per matching feature with id/type/zen_layer/
+        # min_zoom + emits + passthrough keep_cols) ---------------------
         base_derived = {"area": F.col("area"), "length": F.col("length")}
         # membership-join derived columns (pipeline.membership) are
         # picked up automatically when the pre-join stage has run

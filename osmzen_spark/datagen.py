@@ -9,10 +9,13 @@ scale factor, pure Column math (no UDFs, no RNG).
   are a deterministic raw-RGB byte string (fmt='raw'), so the
   decoded-pixel invariant is exact (PSNR = inf) without image codecs.
 
-Element classes cycle deterministically (key mod N): buildings with
-levels (polygon), parking garages, restaurants with cuisine, parks,
-waterfalls with heights, hotels, supermarkets, schools, entrances,
-address points — chosen to exercise the implemented rule set.
+Element classes cycle deterministically (key mod 16): buildings with
+levels (polygon), parking garages, parks, schools, restaurants with
+cuisine, waterfalls with heights, hotels, supermarkets, entrances,
+address points, towns with population, beaches, woods, military areas,
+railway stations, admin-boundary relations — chosen to exercise every
+implemented layer (synthetic_network adds roads/paths/gates + route
+relations).
 """
 
 from __future__ import annotations
@@ -70,7 +73,7 @@ def synthetic_elements(spark: SparkSession, sf_dir: str, replicate: int = 1) -> 
         key.alias("element_id"),
         F.pmod(key * 9973, F.lit(360_000_000)).alias("_lon_m"),
         F.pmod(key * 7919, F.lit(150_000_000)).alias("_lat_m"),
-        F.pmod(key, F.lit(10)).cast("int").alias("cls"),
+        F.pmod(key, F.lit(18)).cast("int").alias("cls"),
         F.pmod(key, F.lit(25)).cast("int").alias("lvl"),
         (F.pmod(key, F.lit(140)) + 10).cast("int").alias("side"),
     )
@@ -84,7 +87,11 @@ def synthetic_elements(spark: SparkSession, sf_dir: str, replicate: int = 1) -> 
     side = F.col("side").cast("double")
     name = F.concat(F.lit("feature "), F.col("element_id").cast("string"))
 
-    is_polygon = cls.isin(0, 1, 2, 3)  # buildings / parking / park / school
+    # polygons: buildings / parking / park / school / beach / wood /
+    # military / admin boundary / water; subway routes are lines; the
+    # rest are points
+    is_polygon = cls.isin(0, 1, 2, 3, 11, 12, 13, 15, 16)
+    is_line = cls == 17
     tags = (
         F.when(cls == 0, F.create_map(
             F.lit("building"), F.lit("yes"),
@@ -127,20 +134,68 @@ def synthetic_elements(spark: SparkSession, sf_dir: str, replicate: int = 1) -> 
         .when(cls == 8, F.create_map(
             F.lit("entrance"), F.lit("main"),
         ))
-        .otherwise(F.create_map(
+        .when(cls == 9, F.create_map(
             F.lit("addr:housenumber"), lvl_s,
             F.lit("addr:street"), F.lit("Main Street"),
         ))
+        .when(cls == 10, F.create_map(
+            F.lit("place"), F.lit("town"),
+            F.lit("name"), name,
+            F.lit("population"), ((F.col("lvl") + 1) * 4000).cast("string"),
+        ))
+        .when(cls == 11, F.create_map(
+            F.lit("natural"), F.lit("beach"),
+            F.lit("surface"), F.lit("sand"),
+            F.lit("name"), name,
+        ))
+        .when(cls == 12, F.create_map(
+            F.lit("natural"), F.lit("wood"),
+            F.lit("name"), name,
+        ))
+        .when(cls == 13, F.create_map(
+            F.lit("landuse"), F.lit("military"),
+            F.lit("military"), F.lit("danger_area"),
+        ))
+        .when(cls == 14, F.create_map(
+            F.lit("railway"), F.lit("station"),
+            F.lit("name"), name,
+        ))
+        .when(cls == 15, F.create_map(
+            F.lit("boundary"), F.lit("administrative"),
+            F.lit("admin_level"), F.lit("4"),
+            F.lit("name"), name,
+        ))
+        .when(cls == 16, F.create_map(
+            F.lit("natural"), F.lit("water"),
+            F.lit("name"), name,
+        ))
+        .otherwise(F.create_map(
+            F.lit("type"), F.lit("route"),
+            F.lit("route"), F.lit("subway"),
+            F.lit("name"), name,
+            F.lit("colour"), F.lit("#0000ff"),
+        ))
     )
 
-    geometry = F.when(is_polygon, _square_geometry(lon, lat, side)).otherwise(
-        _point_geometry(lon, lat)
+    geometry = (
+        F.when(is_polygon, _square_geometry(lon, lat, side))
+        .when(is_line, _line_geometry(lon, lat, side / F.lit(50_000.0), side / F.lit(80_000.0)))
+        .otherwise(_point_geometry(lon, lat))
     )
-    geom_type = F.when(is_polygon, F.lit("Polygon")).otherwise(F.lit("Point"))
+    geom_type = (
+        F.when(is_polygon, F.lit("Polygon"))
+        .when(is_line, F.lit("LineString"))
+        .otherwise(F.lit("Point"))
+    )
 
+    element_type = (
+        F.when(cls.isin(15, 17), F.lit("relation"))
+        .when(is_polygon, F.lit("way"))
+        .otherwise(F.lit("node"))
+    )
     return df.select(
         "element_id",
-        F.when(is_polygon, F.lit("way")).otherwise(F.lit("node")).alias("element_type"),
+        element_type.alias("element_type"),
         tags.alias("tags"),
         geom_type.alias("geom_type"),
         geometry.alias("geometry"),

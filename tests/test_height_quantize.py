@@ -46,5 +46,14 @@ def test_quantize_height_by_zoom(spark, zoom, expected):
     engine = NormalizeEngine()
     layers = engine.process(elements, zoom=zoom, layer_names=["buildings", "pois"])
     rows = layers["buildings"].collect()
-    assert len(rows) == 1
-    assert rows[0]["height"] == expected
+    # at z>=16 a named building also gets a label-placement Point
+    # appended (ref label config queries.yaml:868-879); the reference
+    # test only inspects Features[0] (the polygon)
+    polys = [r for r in rows if r["geom_type"] != "Point"]
+    assert len(polys) == 1
+    assert polys[0]["height"] == expected
+    if zoom >= 16:
+        labels = [r for r in rows if r["geom_type"] == "Point"]
+        assert len(labels) == 1 and labels[0]["label_placement"] is True
+    else:
+        assert len(rows) == 1
