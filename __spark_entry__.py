@@ -60,8 +60,12 @@ def q_pricing_summary(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("decimal(38,2)").alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(14,2)")).cast("decimal(38,2)").alias("sum_base_price"),
+            # exact decimal sums (order-independent), then one cast to
+            # double so both engines emit the identical float64 — the
+            # driver hashes value *representations*, and Spark
+            # DECIMAL(38,2) vs DuckDB decimal/HUGEINT render differently
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(14,2)")).cast("double").alias("sum_base_price"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -123,7 +127,7 @@ def q_broadcast_join_agg(spark, sf_dir):
         .filter(F.col("r_name") == "ASIA")
         .groupBy("n_name")
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("decimal(38,2)").alias("revenue"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("revenue"),
             F.count("*").alias("n_orders"),
         )
         .orderBy("n_name")
@@ -200,7 +204,7 @@ def q_point_in_polygon(spark, sf_dir):
     joined = point_in_polygon_join(pts, polys, z=4, lon="lon", lat="lat")
     return (
         joined.groupBy("poly_id")
-        .agg(F.count("*").alias("n_inside"), F.sum("id").alias("sum_ids"))
+        .agg(F.count("*").alias("n_inside"), F.sum("id").cast("long").alias("sum_ids"))
         .orderBy("poly_id")
     )
 
@@ -275,12 +279,15 @@ def q_events_window(spark, sf_dir):
     e = _read(spark, sf_dir, "events")
     return (
         e.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            # render the hour as an explicit string: Spark timestamps are
+            # session-TZ instants, DuckDB's are naive — formatting pins
+            # one canonical representation on both engines
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour"),
             F.col("event_type"),
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
         )
         .orderBy("hour", "event_type")
     )
@@ -453,8 +460,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(38,2)) AS sum_base_price,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
                    COUNT(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -493,7 +500,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "broadcast_join_agg": """
             SELECT n_name,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(38,2)) AS revenue,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue,
                    COUNT(*) AS n_orders
             FROM orders
             JOIN customer ON o_custkey = c_custkey
@@ -537,7 +544,7 @@ def oracle_sql() -> dict[str, str]:
                      ((s_suppkey % 60) + 10) / 12.0 + 0.00000049 AS half_lat
               FROM supplier
             )
-            SELECT poly_id, COUNT(*) AS n_inside, SUM(id) AS sum_ids
+            SELECT poly_id, COUNT(*) AS n_inside, CAST(SUM(id) AS BIGINT) AS sum_ids
             FROM pts JOIN rects
               ON pts.lon > rects.cx - rects.half_lon AND pts.lon < rects.cx + rects.half_lon
              AND pts.lat > rects.cy - rects.half_lat AND pts.lat < rects.cy + rects.half_lat
@@ -590,9 +597,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "events_window": """
-            SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+            SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
                    COUNT(*) AS n_events,
-                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM events
             GROUP BY 1, 2 ORDER BY 1, 2
         """,
@@ -635,7 +642,94 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderkey % 2 = 0
             ORDER BY node_id
         """,
-        # text_stats / minhash / simhash / cosine_topk / normalize_buildings:
+        # The flagship rule-engine slice, re-derived end-to-end in SQL:
+        # datagen arithmetic -> Mercator shoelace area (identical op
+        # order to geom/kernels.py) -> buildings first-match rule chain
+        # -> scale_rank decision table + clamp_min_zoom -> area-weighted
+        # Mercator centroid -> z10 slippy tile. Named buildings (cls 0)
+        # emit a second label-placement point row, exactly like
+        # handle_label_placement (set_conditional_names strips names
+        # from buildings that also match pois, so cls 1/3 get no label).
+        "normalize_buildings": """
+            WITH e AS (
+              SELECT CAST(l_orderkey * 8 + l_linenumber AS BIGINT) AS id,
+                     ((l_orderkey * 8 + l_linenumber) * 9973) % 360000000 / 1000000.0 - 180.0 AS lon,
+                     ((l_orderkey * 8 + l_linenumber) * 7919) % 150000000 / 1000000.0 - 75.0  AS lat,
+                     (l_orderkey * 8 + l_linenumber) % 18 AS cls,
+                     ((l_orderkey * 8 + l_linenumber) % 25 + 1) * 3 + 2 AS lvl_h,
+                     CAST((l_orderkey * 8 + l_linenumber) % 140 + 10 AS DOUBLE) AS side
+              FROM lineitem
+              WHERE (l_orderkey * 8 + l_linenumber) % 18 IN (0, 1, 3, 8, 9)
+            ), poly0 AS (
+              SELECT id, cls, lon, lat,
+                     CASE WHEN cls IN (0, 1) THEN lvl_h ELSE 0 END AS h,
+                     side / 222640.0 AS dlat,
+                     side / (222640.0 * COS(lat / 180.0 * PI())) AS dlon
+              FROM e WHERE cls IN (0, 1, 3)
+            ), merc AS (
+              SELECT id, cls, h,
+                     6378137.0 * (lon - dlon) * (PI() / 180.0) AS x1,
+                     6378137.0 * (lon + dlon) * (PI() / 180.0) AS x2,
+                     6378137.0 * LN(TAN(PI() / 4.0 + (lat - dlat) * (PI() / 180.0) / 2.0)) AS y1,
+                     6378137.0 * LN(TAN(PI() / 4.0 + (lat + dlat) * (PI() / 180.0) / 2.0)) AS y2
+              FROM poly0
+            ), shoe AS (
+              -- local-origin translation (first vertex), mirroring
+              -- geom/kernels.py exactly: translated vertex lists
+              -- Xt=[0,a2,a2,0,0], Yt=[0,0,b2,b2,0] make c0=c3=0 and
+              -- c1=c2=a2*b2; op order matches numpy's reduceat chains
+              SELECT id, cls, h, x1, y1, (x2 - x1) AS a2, (y2 - y1) AS b2,
+                     0.5 * ((0.0 + (x2 - x1) * (y2 - y1)) + (x2 - x1) * (y2 - y1) + 0.0) AS signed
+              FROM merc
+            ), measured AS (
+              SELECT id, cls, h,
+                     FLOOR(ABS(signed) + 0.5) AS area,
+                     (CASE WHEN signed < 0 THEN -1.0 ELSE 1.0 END
+                      * ((0.0 + (a2 + a2) * (a2 * b2)) + a2 * (a2 * b2) + 0.0))
+                       / (6.0 * (CASE WHEN signed < 0 THEN -1.0 ELSE 1.0 END * signed)) + x1 AS pcx,
+                     (CASE WHEN signed < 0 THEN -1.0 ELSE 1.0 END
+                      * ((0.0 + b2 * (a2 * b2)) + (b2 + b2) * (a2 * b2) + 0.0))
+                       / (6.0 * (CASE WHEN signed < 0 THEN -1.0 ELSE 1.0 END * signed)) + y1 AS pcy
+              FROM shoe
+            ), scored AS (
+              SELECT id, cls, h, area,
+                     pcx / 6378137.0 / (PI() / 180.0) AS clon,
+                     (2.0 * ATAN(EXP(pcy / 6378137.0)) - PI() / 2.0) / (PI() / 180.0) AS clat,
+                     area * h AS vol,
+                     CASE WHEN area >= 5000 OR area * h >= 150000 THEN 13.0
+                          WHEN area >= 500 OR area * h >= 50000 THEN 14.0
+                          WHEN area >= 20 THEN 15.0
+                          WHEN area >= 10 THEN 16.0
+                          ELSE 17.0 END AS rule_mz,
+                     CASE WHEN area >= 100000 OR h >= 250 OR area * h >= 300000 THEN 1
+                          WHEN area >= 20000 OR h >= 150 OR area * h >= 150000 THEN 2
+                          WHEN area >= 5000 OR h >= 100 OR area * h >= 100000 THEN 3
+                          WHEN area >= 1000 OR area * h >= 50000 THEN 4
+                          ELSE 5 END AS scale_rank
+              FROM measured
+            ), poly_rows AS (
+              SELECT id, 'building' AS kind,
+                     GREATEST(rule_mz, CASE scale_rank WHEN 3 THEN 14.0 WHEN 4 THEN 14.0
+                                                      WHEN 5 THEN 15.0 ELSE 0.0 END) AS min_zoom,
+                     CAST(NULLIF(h, 0) AS DOUBLE) AS height, CAST(area AS DOUBLE) AS area, clon, clat,
+                     CASE WHEN cls = 0 THEN 2 ELSE 1 END AS copies
+              FROM scored
+            ), pt_rows AS (
+              SELECT id, CASE WHEN cls = 8 THEN 'entrance' ELSE 'address' END AS kind,
+                     17.0 AS min_zoom, CAST(NULL AS DOUBLE) AS height,
+                     CAST(NULL AS DOUBLE) AS area, lon AS clon, lat AS clat, 1 AS copies
+              FROM e WHERE cls IN (8, 9)
+            ), unioned AS (
+              SELECT * FROM poly_rows
+              UNION ALL SELECT * FROM pt_rows
+            )
+            SELECT id, kind, min_zoom, height, area,
+                   CAST(GREATEST(0, LEAST(1023, CAST(FLOOR((clon + 180.0) / 360.0 * 1024) AS BIGINT))) AS BIGINT) AS tile_x,
+                   CAST(GREATEST(0, LEAST(1023, CAST(FLOOR((1.0 - LN(TAN(RADIANS(GREATEST(-85.05112877980659, LEAST(85.05112877980659, clat)))) + 1.0 / COS(RADIANS(GREATEST(-85.05112877980659, LEAST(85.05112877980659, clat))))) / PI()) / 2.0 * 1024) AS BIGINT))) AS BIGINT) AS tile_y
+            FROM unioned, UNNEST(GENERATE_SERIES(1, copies)) AS g(i)
+            ORDER BY id
+        """,
+        # text_stats / minhash / simhash / cosine_topk:
         # text_stats oracle below; hash-based ops are rows-only by design.
         "text_stats": """
             WITH w AS (

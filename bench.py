@@ -48,8 +48,15 @@ def flagship(spark, sf_dir, replicate: int = 1):
     net_elements, rels, way_nodes = synthetic_network(spark, sf_dir, replicate=replicate)
     elements = elements.unionByName(net_elements)
     engine = NormalizeEngine()
+    # cache=True is the DEPLOYABLE shape: per-layer eager stage
+    # checkpoints (the Iceberg stage checkpoint on a cluster,
+    # lineage.py) cut the plan at the rule-eval fan-out, so the
+    # post-process joins and the final union execute against
+    # materialized leaves instead of re-running the 556-rule eval tree
+    # once per consumer (the round-1 cache=False bench re-executed it
+    # 25-30x per action — 307s instead of ~30s at sf0.1).
     return engine.process_unioned(
-        elements, zoom=20, tile_zoom=14, cache=False,
+        elements, zoom=20, tile_zoom=14, cache=True,
         relation_members=rels, way_nodes=way_nodes,
     )
 

@@ -122,8 +122,11 @@ def _compile_entry(key: str, val, ctx: EvalContext) -> Column:
         # presence test (ref:conditions.go:512-521)
         return ctx.tag_present(key) == F.lit(val)
     if isinstance(val, list):
-        # membership; compile-time lowercased values (ref:conditions.go:499)
-        lowered = [str(v).lower() for v in val]
+        # membership; compile-time lowercased values (ref:conditions.go:499).
+        # A YAML null entry means "missing/empty tag matches" — same as
+        # the Arrow path (vectorized.py inlist), NOT the string "none".
+        lowered = ["" if v is None else str(v).lower() for v in val]
         return ctx.tag_str(key).isin(*lowered)
-    # exact match; Go map-miss yields "" (ref:conditions.go:466-473)
-    return ctx.tag_str(key) == F.lit(str(val))
+    # exact match; Go map-miss yields "" (ref:conditions.go:466-473);
+    # YAML null compares as the empty string, mirroring that rule
+    return ctx.tag_str(key) == F.lit("" if val is None else str(val))

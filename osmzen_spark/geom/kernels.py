@@ -72,6 +72,23 @@ def geometry_stats(
     X = mercator_x(xs_flat)
     Y = mercator_y(ys_flat)
 
+    # Translate each row to a local origin (its first vertex) before the
+    # shoelace: at full Mercator magnitude (~1e7 m) the cross terms are
+    # ~1e14 and cancel down to the polygon area, so a single ulp of
+    # libm tan/log noise shows up as ~0.05 m^2 of absolute error —
+    # enough to flip floor(a + 0.5) on knife-edge rows and diverge from
+    # any independent re-implementation (e.g. the DuckDB oracles).
+    # Translation is exact (FP subtraction of nearby values) and drops
+    # the error to ~1e-6 m^2. Centroids get the origin added back.
+    pt_counts_i = np.diff(pt_row_offsets)
+    first_idx = np.minimum(pt_row_offsets[:-1], max(n_pts - 1, 0))
+    X0_row = X[first_idx]
+    Y0_row = Y[first_idx]
+    X0 = np.repeat(X0_row, pt_counts_i)
+    Y0 = np.repeat(Y0_row, pt_counts_i)
+    X = X - X0
+    Y = Y - Y0
+
     # per-edge terms; edge i pairs vertex i with i+1. Zero the terms that
     # straddle a ring boundary (last vertex of ring k -> first of ring k+1).
     cross = np.zeros(n_pts)
@@ -155,6 +172,12 @@ def geometry_stats(
         poly_cy = row_cy_num / (6.0 * row_area)
         line_cx = row_mx / row_len_all
         line_cy = row_my / row_len_all
+
+    # translate centroids back to absolute Mercator coordinates
+    poly_cx = poly_cx + X0_row
+    poly_cy = poly_cy + Y0_row
+    line_cx = line_cx + X0_row
+    line_cy = line_cy + Y0_row
 
     use_poly = is_poly & (np.abs(row_area) > 1e-12)
     use_line = (~use_poly) & is_line & (row_len_all > 1e-12)

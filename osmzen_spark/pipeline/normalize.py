@@ -178,7 +178,7 @@ class NormalizeEngine:
                 # replaces the subtree with a materialized leaf (on a
                 # cluster this cut is the Iceberg stage checkpoint,
                 # lineage.py).
-                layers = {n: df.localCheckpoint(eager=False) for n, df in layers.items()}
+                layers = {n: df.localCheckpoint(eager=True) for n, df in layers.items()}
         layers = self.postprocess(layers, zoom, bound=bound)
         if bound is not None and clip:
             # hard-wired final step for per-tile runs: clip geometry to

@@ -21,6 +21,30 @@ from osmzen_spark.pipeline.matcher import CSVMatcher
 WORLD_BOUND = (-180.0, -85.05112877980659, 180.0, 85.05112877980659)
 
 
+def maybe_broadcast(df: DataFrame) -> DataFrame:
+    """Size-gate for the post-process join hints.
+
+    Locally (and on any deployment where the derived side is known
+    small) the explicit broadcast hint skips a shuffle. At 10^9+
+    features the distinct-id / aggregate sides of these joins are
+    gigabytes, and a forced broadcast kills the driver — set the Spark
+    conf ``spark.osmzen.broadcastPostJoins=false`` (or env
+    ``OSMZEN_BROADCAST_POSTJOINS=0``) for cluster runs: the hint is
+    dropped and AQE still converts to a broadcast join at runtime
+    whenever the actual size fits ``autoBroadcastJoinThreshold``."""
+    import os
+
+    flag = os.environ.get("OSMZEN_BROADCAST_POSTJOINS")
+    if flag is None:
+        try:
+            flag = df.sparkSession.conf.get("spark.osmzen.broadcastPostJoins", "true")
+        except Exception:
+            flag = "true"
+    if str(flag).lower() in ("0", "false", "no"):
+        return df
+    return F.broadcast(df)
+
+
 class PropertiesContext(EvalContext):
     """Condition context over feature PROPERTIES, mirroring the
     reference's NewContextFromProperties (ref:filter/context.go:73-99):
@@ -77,7 +101,7 @@ def set_conditional_names(layers: dict[str, DataFrame], zoom: int, params=None) 
         b = buildings
         hit = F.lit(False)
         for i, s in enumerate(srcs):
-            m = F.broadcast(
+            m = maybe_broadcast(
                 s.select(F.col("id").alias(f"__oid{i}"), F.col("type").alias(f"__otype{i}")).distinct()
             )
             b = b.join(
@@ -91,7 +115,7 @@ def set_conditional_names(layers: dict[str, DataFrame], zoom: int, params=None) 
         out["buildings"] = b
 
     if landuse is not None and pois is not None:
-        m = F.broadcast(_ids_of(pois))
+        m = maybe_broadcast(_ids_of(pois))
         l = landuse.join(
             m, (landuse["id"] == m["__oid"]) & (landuse["type"] == m["__otype"]), "left"
         )
@@ -134,7 +158,7 @@ def backfill_from_other_layer(layers, zoom, params):
     )
     dst = layers[dst_name]
     dst_col = F.col(dst_key) if dst_key in dst.columns else F.lit(None).cast("string")
-    joined = dst.join(F.broadcast(vals), dst["id"] == vals["__bid"], "left")
+    joined = dst.join(maybe_broadcast(vals), dst["id"] == vals["__bid"], "left")
     joined = joined.withColumn(dst_key, F.coalesce(dst_col, F.col("__backfill"))).drop(
         "__bid", "__backfill"
     )
@@ -453,20 +477,55 @@ def remove_duplicate_features(layers, zoom, params):
 
         # Scale shape: almost every (name, kind) tuple is a singleton,
         # and the greedy scan only matters for keys with >=2 candidates:
-        #   1) aggregate eligible rows per key into SORTED candidate
-        #      arrays (deterministic (id, type) order = the reference's
-        #      greedy first-wins order), keeping only multi-candidate
-        #      keys — a tiny aggregate;
-        #   2) run the order-dependent scan per key in an Arrow-batched
-        #      mapInPandas over those few rows, emitting dropped ids;
-        #   3) broadcast ANTI-join the dropped ids back — the layer is
-        #      never reshuffled and no per-group pandas overhead is paid
-        #      for the singleton majority (the previous applyInPandas
-        #      formulation spent ~1 ms of pandas per group x 10^5
-        #      groups per layer).
+        #   1) count candidates per key; keys above HOT_KEY_THRESHOLD
+        #      (a planet-scale "Starbucks","cafe" ~ 10^4-10^5 points)
+        #      are sub-bucketed by a Mercator supercell of side
+        #      512 x dist_m, so no single aggregate row / greedy group
+        #      is unbounded. The greedy scan is exact per group; for
+        #      hot keys, suppression across a supercell border is not
+        #      applied (border pairs are ~dist/S ≈ 0.2% of a hot key,
+        #      and the reference never dedups across tiles at all —
+        #      its Process() is per-tile, ref:process.go:22-24 — so the
+        #      hot-key regime is already beyond-reference semantics).
+        #   2) aggregate each group into a SORTED candidate array
+        #      (deterministic (id, type) order = the reference's greedy
+        #      first-wins order), keeping only multi-candidate groups —
+        #      a tiny aggregate;
+        #   3) run the order-dependent scan per group in an
+        #      Arrow-batched mapInPandas (numpy-vectorized haversine
+        #      against the kept set, so a 10^4-candidate group is
+        #      ~10^8 SIMD flops, not 10^8 Python trips);
+        #   4) ANTI-join the dropped ids back (size-gated broadcast) —
+        #      the fact table is never reshuffled.
+        hot_threshold = int(params.get("hot_key_threshold", 4096))
+        super_m = 512.0 * dist_m
+        pts = df.filter(eligible).select(
+            F.concat_ws("-!-", *key_cols).alias("__dk"),
+            "id",
+            "type",
+            "clon",
+            "clat",
+            F.floor(F.lit(6378137.0) * F.radians(F.col("clon")) / F.lit(super_m)).alias("__gx"),
+            F.floor(
+                F.lit(6378137.0)
+                * F.log(F.tan(F.lit(math.pi / 4.0) + F.radians(F.col("clat")) / F.lit(2.0)))
+                / F.lit(super_m)
+            ).alias("__gy"),
+        )
+        hot = (
+            pts.groupBy("__dk")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > hot_threshold)
+            .select("__dk")
+            .withColumn("__hot", F.lit(True))
+        )
+        pts = pts.join(maybe_broadcast(hot), on="__dk", how="left")
+        group_key = F.when(
+            F.col("__hot").isNotNull(),
+            F.concat_ws("@", F.col("__dk"), F.col("__gx"), F.col("__gy")),
+        ).otherwise(F.col("__dk"))
         cands = (
-            df.filter(eligible)
-            .groupBy(F.concat_ws("-!-", *key_cols).alias("__dk"))
+            pts.groupBy(group_key.alias("__gk"))
             .agg(
                 F.sort_array(
                     F.collect_list(F.struct("id", "type", "clon", "clat"))
@@ -476,28 +535,40 @@ def remove_duplicate_features(layers, zoom, params):
         )
 
         def drop_ids(batch_iter):
+            import numpy as np
+
+            r2 = 2.0 * 6371000.0
             for pdf in batch_iter:
                 did: list[int] = []
                 dtype: list[str] = []
-                for pts in pdf["__pts"]:
-                    kept: list[tuple[float, float]] = []
-                    for p in pts:
-                        lon, lat = p["clon"], p["clat"]
-                        ok = True
-                        for klon, klat in kept:
-                            if haversine(lon, lat, klon, klat) < dist_m:
-                                ok = False
-                                break
-                        if ok:
-                            kept.append((lon, lat))
-                        else:
-                            did.append(p["id"])
-                            dtype.append(p["type"])
+                for pts_arr in pdf["__pts"]:
+                    n = len(pts_arr)
+                    lons = np.fromiter((p["clon"] for p in pts_arr), dtype=np.float64, count=n)
+                    lats = np.fromiter((p["clat"] for p in pts_arr), dtype=np.float64, count=n)
+                    lam = np.radians(lons)
+                    phi = np.radians(lats)
+                    cphi = np.cos(phi)
+                    kept_idx = np.empty(n, dtype=np.int64)
+                    n_kept = 0
+                    for i in range(n):
+                        if n_kept:
+                            k = kept_idx[:n_kept]
+                            a = (
+                                np.sin((phi[i] - phi[k]) / 2.0) ** 2
+                                + cphi[i] * cphi[k] * np.sin((lam[i] - lam[k]) / 2.0) ** 2
+                            )
+                            d = r2 * np.arcsin(np.minimum(1.0, np.sqrt(a)))
+                            if (d < dist_m).any():
+                                did.append(pts_arr[i]["id"])
+                                dtype.append(pts_arr[i]["type"])
+                                continue
+                        kept_idx[n_kept] = i
+                        n_kept += 1
                 yield pd.DataFrame({"__did": pd.Series(did, dtype="int64"), "__dtype": pd.Series(dtype, dtype="object")})
 
         dropped_df = cands.mapInPandas(drop_ids, schema="__did long, __dtype string")
         out[name] = df.join(
-            F.broadcast(dropped_df),
+            maybe_broadcast(dropped_df),
             (df["id"] == dropped_df["__did"]) & (df["type"] == dropped_df["__dtype"]),
             "left_anti",
         )

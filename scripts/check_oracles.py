@@ -21,23 +21,31 @@ SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+RISKY_TYPES: set[str] = set()
+
+
 def norm_val(v):
+    # STRICT: no cross-type coercion. The driver hashes raw value
+    # representations; round 1 proved that a lenient normalizer here
+    # (Decimal->int collapse) hides real driver-side hash mismatches.
+    # Queries must emit representation-stable primitives (double /
+    # bigint / string / bool) on BOTH engines. Decimal and datetime
+    # outputs are flagged so they get rewritten at the source.
     if v is None:
         return "NULL"
     if isinstance(v, bool):
         return str(v).lower()
     if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
         return repr(v)
-    try:
-        import decimal
+    import datetime
+    import decimal
 
-        if isinstance(v, decimal.Decimal):
-            f = float(v)
-            return str(int(f)) if f == int(f) and abs(f) < 1e15 else repr(f)
-    except Exception:
-        pass
+    if isinstance(v, decimal.Decimal):
+        RISKY_TYPES.add("Decimal")
+        return str(v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        RISKY_TYPES.add(type(v).__name__)
+        return str(v)
     return str(v)
 
 
@@ -85,7 +93,9 @@ def main(names=None):
         ok_count = len(srows) == len(orows)
         ok_hash = sh == oh
         status = "OK" if (ok_cols and ok_count and ok_hash) else "FAIL"
-        print(f"[{status}] {name}: rows {len(srows)}/{len(orows)} cols={ok_cols} hash={ok_hash}")
+        risky = f" RISKY_TYPES={sorted(RISKY_TYPES)}" if RISKY_TYPES else ""
+        RISKY_TYPES.clear()
+        print(f"[{status}] {name}: rows {len(srows)}/{len(orows)} cols={ok_cols} hash={ok_hash}{risky}")
         if status == "FAIL":
             failures.append(name)
             if not ok_cols:
