@@ -200,3 +200,48 @@ class NormalizeEngine:
         for df in dfs[1:]:
             out = out.unionByName(df, allowMissingColumns=True)
         return out
+
+    # preferred layer order for single-element classification
+    # (ref:process.go:28-39)
+    PREFERENCE_ORDER = (
+        "pois",
+        "roads",
+        "buildings",
+        "landuse",
+        "water",
+        "places",
+        "boundaries",
+        "transit",
+        "earth",
+    )
+
+    def process_element(self, elements: DataFrame, zoom: int = 20, **kw) -> DataFrame:
+        """Batch ProcessElement (ref:process.go:42-69): full pipeline at
+        world bound, then for each element keep only its FIRST matching
+        layer by the preference order, and within that layer the
+        original feature (not an appended label point) — exactly the
+        reference's fixture semantics (Features[0] of the first
+        non-empty layer). Layers outside the preference list rank after
+        it in config order, mirroring the reference's fallback loop."""
+        from pyspark.sql import Window
+
+        out = self.process_unioned(elements, zoom=zoom, **kw)
+        rank = None
+        order = list(self.PREFERENCE_ORDER) + [
+            n for n in self.config.layers if n not in self.PREFERENCE_ORDER
+        ]
+        for i, name in enumerate(order):
+            cond = F.col("zen_layer") == name
+            rank = F.when(cond, F.lit(i)) if rank is None else rank.when(cond, F.lit(i))
+        rank = rank.otherwise(F.lit(len(order)))
+        label_last = (
+            F.col("label_placement").isNotNull().cast("int")
+            if "label_placement" in out.columns
+            else F.lit(0)
+        )
+        w = Window.partitionBy("id", "type").orderBy(rank.asc(), label_last.asc())
+        return (
+            out.withColumn("__pref", F.row_number().over(w))
+            .filter(F.col("__pref") == 1)
+            .drop("__pref")
+        )
