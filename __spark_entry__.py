@@ -345,6 +345,44 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
+def q_ann_recall(spark, sf_dir):
+    """LSH-ANN retrieval quality, self-oracled against the exact
+    brute-force baseline: per query vector, how many of its true top-5
+    cosine neighbors appear in the multi-table LSH candidate set
+    (b=4 bits x L=24 tables -> expected recall ~0.965 on this data;
+    tests/test_ops.py asserts the average >= 0.9). Deterministic
+    hash-derived hyperplanes, so the driver's rows-only re-run is
+    byte-stable."""
+    from osmzen_spark.ops.similarity import cosine_topk_bruteforce, lsh_ann_candidates
+
+    emb = _read(spark, sf_dir, "embeddings")
+    k = 5
+    truth = cosine_topk_bruteforce(emb, emb, k=k)
+    cand = lsh_ann_candidates(emb, emb, dim=64, bits=4, tables=24).withColumn(
+        "found", F.lit(1)
+    )
+    joined = truth.join(cand, on=["q_id", "p_id"], how="left")
+    return (
+        joined.groupBy(F.col("q_id").alias("query_id"))
+        .agg(
+            F.sum(F.coalesce(F.col("found"), F.lit(0))).cast("int").alias("n_found"),
+            (F.sum(F.coalesce(F.col("found"), F.lit(0))) / float(k)).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard near-dup pairs (explode-shingle
+    equi-join, no cross join). True DuckDB oracle: the Jaccard of
+    hashed shingles equals the Jaccard of the shingle strings."""
+    from osmzen_spark.ops.dedup import ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", k=3, min_jaccard=0.5)
+    return pairs.select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b")
+
+
 def q_route_networks(spark, sf_dir):
     """Relation-membership joins (ref:filter/functions.go:161-383):
     bicycle-network resolution, bus-route flag, and path-major-route
@@ -444,6 +482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": q_minhash_near_dup,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
+        "ann_recall": q_ann_recall,
+        "ngram_jaccard": q_ngram_jaccard,
         "route_networks": q_route_networks,
         "gate_min_zoom": q_gate_min_zoom,
         "normalize_buildings": q_normalize_buildings,
@@ -729,8 +769,39 @@ def oracle_sql() -> dict[str, str]:
             FROM unioned, UNNEST(GENERATE_SERIES(1, copies)) AS g(i)
             ORDER BY id
         """,
-        # text_stats / minhash / simhash / cosine_topk:
-        # text_stats oracle below; hash-based ops are rows-only by design.
+        # Exact 3-gram Jaccard: the engine hashes shingles (xxhash64)
+        # but Jaccard is hash-invariant, so DuckDB computes it over the
+        # raw shingle STRINGS — a true value oracle for the near-dup
+        # candidate math. Mirrors _shingles: lower(trim()), split \\s+,
+        # slice(i, 3) clamped at the end, distinct.
+        "ngram_jaccard": """
+            WITH w AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, GREATEST(len(words) - 2, 1)),
+                       i -> array_to_string(words[i:i+2], ' ')
+                     )) AS grams
+              FROM w
+            ), ex AS (
+              SELECT doc_id, len(grams) AS n, UNNEST(grams) AS g FROM sh
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+                     COUNT(*) AS i
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT id_a, id_b, i * 1.0 / (n_a + n_b - i) AS jaccard
+            FROM inter
+            WHERE i * 1.0 / (n_a + n_b - i) >= 0.5
+            ORDER BY id_a, id_b
+        """,
+        # text_stats / minhash / simhash / cosine_topk / ann_recall:
+        # text_stats + ngram_jaccard oracles here; hash/LSH-based ops
+        # are rows-only by design (ann_recall self-oracles against the
+        # brute-force baseline inside the query).
         "text_stats": """
             WITH w AS (
               SELECT doc_id, text,

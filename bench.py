@@ -107,6 +107,8 @@ def run_benchmarks(spark, sf_dir):
         "text_stats",
         "minhash_near_dup",
         "cosine_topk",
+        "ann_recall",
+        "ngram_jaccard",
     ):
         timed(name, qs[name](spark, sf_dir))
 

@@ -80,6 +80,51 @@ def lsh_signature_col(vec: Column, dim: int, n_planes: int = 16) -> Column:
     return sig
 
 
+def lsh_ann_candidates(
+    points: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    bits: int = 4,
+    tables: int = 24,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table hyperplane LSH: ``tables`` independent signatures of
+    ``bits`` hyperplane bits each; a pair is a candidate if ANY table's
+    bucket matches (classic banding — recall 1-(1-p^bits)^tables).
+    Physical shape: each side explodes to ``tables`` (table|bucket)
+    rows and candidates come from an int64 equi-join — at 10^12 scale
+    this shuffles on bucket ids, never comparing vectors all-pairs.
+    Returns DISTINCT candidate pairs (q_id, p_id)."""
+    n_planes = bits * tables
+    planes = F.array(
+        *[F.array(*[F.lit(v) for v in _hyperplane(dim, p)]) for p in range(n_planes)]
+    )
+
+    def buckets(df, out_id):
+        v = F.col(vec_col).cast("array<double>")
+        bit = F.transform(planes, lambda pl: F.when(_dot(v, pl) >= 0, F.lit(1)).otherwise(F.lit(0)))
+        arr = F.transform(
+            F.sequence(F.lit(0), F.lit(tables - 1)),
+            lambda t: F.aggregate(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                F.lit(0).cast("long"),
+                lambda acc, j: acc * 2 + F.element_at(bit, (t * bits + j + 1).cast("int")).cast("long"),
+            )
+            + t.cast("long") * F.lit(2**32).cast("long"),
+        )
+        return df.select(F.col(id_col).alias(out_id), F.explode(arr).alias("bucket"))
+
+    q = buckets(queries, "q_id")
+    p = buckets(points, "p_id")
+    return (
+        q.join(p, on="bucket")
+        .filter(F.col("p_id") != F.col("q_id"))
+        .select("q_id", "p_id")
+        .distinct()
+    )
+
+
 def lsh_bucket_candidates(
     points: DataFrame,
     queries: DataFrame,
