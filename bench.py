@@ -119,27 +119,52 @@ def main():
     from osmzen_spark.session import get_spark
 
     if "--scaling" in sys.argv:
-        # N vs 4N cores on the SAME input (north-rule evidence); the job
-        # is warm-run once per session (JIT + codegen) before timing.
-        # replicate scales the input so executor work dominates the
-        # per-action driver fixed cost (Catalyst optimization); 2 keeps
-        # the 8-core arm inside a 10-minute budget on this box. See
-        # BASELINE.md for the fixed-cost scaling analysis.
-        replicate = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICATE", "2"))
+        # N vs 4N cores on the SAME input (north-rule evidence). Two
+        # efficiencies, both honest:
+        #   * steady:   the per-batch marginal cost (warm repeat of the
+        #     post-checkpoint execution — the headline normalize_tile
+        #     protocol), replicated so executor work dominates the
+        #     ~2s per-action driver cost.
+        #   * pipeline: the full build+eval+write wall. Includes the
+        #     core-count-INDEPENDENT driver fixed cost F (config load +
+        #     py4j/Catalyst plan compile, ~1 min) which on a real 4N
+        #     cluster is identically constant — so this arm understates
+        #     scaling at sandbox data sizes; BASELINE.md carries the
+        #     F+W/cores decomposition.
+        replicate = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICATE", "4"))
         results = {}
         for cpus in (8, 32):
             spark = get_spark(
                 app_name=f"bench-scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
             )
-            _noop(flagship(spark, SF_DIR, replicate=replicate))  # warm: JIT + codegen
-            out = flagship(spark, SF_DIR, replicate=replicate)
             t0 = time.time()
-            n = out.count()
-            sec = time.time() - t0
-            results[cpus] = {"features": n, "sec": round(sec, 3), "features_per_sec": round(n / sec, 1)}
+            out = flagship(spark, SF_DIR, replicate=replicate)
+            _noop(out)
+            pipeline_sec = time.time() - t0
+            n = out.count()  # warm
+            t0 = time.time()
+            out.count()
+            steady_sec = time.time() - t0
+            results[cpus] = {
+                "features": n,
+                "steady_sec": round(steady_sec, 3),
+                "pipeline_sec": round(pipeline_sec, 3),
+                "steady_features_per_sec": round(n / steady_sec, 1),
+                "pipeline_features_per_sec": round(n / pipeline_sec, 1),
+            }
             spark.stop()
-        eff = results[32]["features_per_sec"] / (4 * results[8]["features_per_sec"])
-        print(json.dumps({"scaling": results, "efficiency_8_to_32": round(eff, 3)}))
+        eff_s = results[32]["steady_features_per_sec"] / (4 * results[8]["steady_features_per_sec"])
+        eff_p = results[32]["pipeline_features_per_sec"] / (4 * results[8]["pipeline_features_per_sec"])
+        print(
+            json.dumps(
+                {
+                    "scaling": results,
+                    "replicate": replicate,
+                    "efficiency_8_to_32_steady": round(eff_s, 3),
+                    "efficiency_8_to_32_pipeline": round(eff_p, 3),
+                }
+            )
+        )
         return
 
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 8))

@@ -162,8 +162,14 @@ def _coerce_to_arrow(obj_arr: np.ndarray, typ: str) -> pa.Array:
 
 class ArrowLayerPlan:
     def __init__(self, layer):
+        from osmzen_spark.compiler.errors import rule_compile
+
+        lname = getattr(layer, "name", "?")
         keys: set[str] = set()
-        self.preds = [compile_condition_np(r.when, keys) for r in layer.rules]
+        self.preds = [
+            rule_compile(lname, i, "when", r.when, lambda r=r: compile_condition_np(r.when, keys))
+            for i, r in enumerate(layer.rules)
+        ]
 
         # hoist distinct min_zoom nodes
         self.mz_of_rule = np.full(len(layer.rules), -1, dtype=np.int64)
@@ -175,7 +181,11 @@ class ArrowLayerPlan:
             k = repr(r.min_zoom)
             if k not in mz_ids:
                 mz_ids[k] = len(self.mz_fns)
-                self.mz_fns.append(compile_num_np(r.min_zoom, keys))
+                self.mz_fns.append(
+                    rule_compile(
+                        lname, i, "min_zoom", r.min_zoom, lambda r=r: compile_num_np(r.min_zoom, keys)
+                    )
+                )
             self.mz_of_rule[i] = mz_ids[k]
 
         # hoist distinct emit nodes per output key (array types excluded)
@@ -205,7 +215,10 @@ class ArrowLayerPlan:
                 continue
             self.emit_keys.append((key, merged))
             self.emit_fns[key] = [
-                compile_value_np(node, keys) for _, node in sorted(nodes.values(), key=lambda x: x[0])
+                rule_compile(
+                    lname, None, f"emit.{key}", node, lambda node=node: compile_value_np(node, keys)
+                )
+                for _, node in sorted(nodes.values(), key=lambda x: x[0])
             ]
             m = np.full(len(layer.rules), -1, dtype=np.int64)
             for i, nid in rule_to_node.items():

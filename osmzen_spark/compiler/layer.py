@@ -55,9 +55,13 @@ class CompiledLayer:
         return list(keys)
 
     def match_idx_col(self, ctx: EvalContext) -> Column:
+        from osmzen_spark.compiler.errors import rule_compile
+
         out = None
         for i, rule in enumerate(self.rules):
-            pred = compile_condition(rule.when, ctx)
+            pred = rule_compile(
+                self.name, i, "when", rule.when, lambda r=rule: compile_condition(r.when, ctx)
+            )
             out = F.when(pred, F.lit(i)) if out is None else out.when(pred, F.lit(i))
         if out is None:
             return F.lit(None).cast("int")
@@ -230,8 +234,9 @@ def load_layer(source: str | dict, name: str | None = None) -> CompiledLayer:
     """
     if isinstance(source, str):
         if "\n" not in source and source.endswith((".yaml", ".yml")):
-            with open(source) as f:
-                doc = yaml.safe_load(f)
+            from osmzen_spark.confio import read_text
+
+            doc = yaml.safe_load(read_text(source))
         else:
             doc = yaml.safe_load(source)
     else:

@@ -35,8 +35,9 @@ class CompiledConfig:
 
 def load_config(config_dir: str | None = None) -> CompiledConfig:
     config_dir = config_dir or DEFAULT_CONFIG_DIR
-    with open(os.path.join(config_dir, "engine.yaml")) as f:
-        engine = yaml.safe_load(f)
+    from osmzen_spark.confio import read_text
+
+    engine = yaml.safe_load(read_text(os.path.join(config_dir, "engine.yaml")))
 
     layers: dict[str, CompiledLayer] = {}
     for name in engine["layers"]:

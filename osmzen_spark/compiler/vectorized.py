@@ -288,6 +288,8 @@ def _compile_entry(key, val, keys: set[str]) -> Callable:
         return lambda b: (b.volume() >= lo) & (b.volume() <= hi)
     if key == "compare":
         left, op, right = val
+        if op not in ("lt", "gt", "lte", "gte"):
+            raise ValueError(f"unknown compare op: {op!r}")  # compile-time, like the reference
         lf = compile_num_np(left, keys)
         rf = compile_num_np(right, keys)
 
@@ -301,10 +303,8 @@ def _compile_entry(key, val, keys: set[str]) -> Callable:
                     r = lv > rv
                 elif op == "lte":
                     r = lv <= rv
-                elif op == "gte":
-                    r = lv >= rv
                 else:
-                    raise ValueError(f"bad compare op {op}")
+                    r = lv >= rv
             return r & lok & rok
 
         return cmp

@@ -84,8 +84,9 @@ class CollisionRanker:
 
     @classmethod
     def from_path(cls, path: str) -> "CollisionRanker":
-        with open(path) as f:
-            return cls(yaml.safe_load(f))
+        from osmzen_spark.confio import read_text
+
+        return cls(yaml.safe_load(read_text(path)))
 
     def rank_col(self, layer_name: str, df: DataFrame) -> Column:
         groups = self.groups.get(layer_name)

@@ -73,14 +73,14 @@ class CSVMatcher:
 
     @classmethod
     def from_path(cls, path: str) -> "CSVMatcher":
+        from osmzen_spark.confio import read_text
+
         if path.endswith((".yaml", ".yml")):
             import yaml
 
-            with open(path) as f:
-                doc = yaml.safe_load(f)
+            doc = yaml.safe_load(read_text(path))
             return cls([str(c) for c in doc["columns"]], [[str(x) for x in r] for r in doc["rows"]])
-        with open(path) as f:
-            return cls.from_text(f.read())
+        return cls.from_text(read_text(path))
 
     def value_col(self, df: DataFrame, zoom: int) -> Column:
         dtypes = dict(df.dtypes)

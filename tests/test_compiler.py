@@ -184,3 +184,30 @@ def test_building_height_semantics(spark):
     assert vals[2] == 1.0e10  # unparseable height -> 1e10 ("could be huge")
     assert vals[3] == 0.0
     assert vals[4] == 1.0e10
+
+
+def test_compile_error_diagnostics():
+    """ref:filter/errors.go analog: a bad rule raises CompileError
+    naming layer, rule index, section, and dumping the YAML fragment."""
+    import pytest
+
+    from osmzen_spark.compiler.arrow_layer import ArrowLayerPlan
+    from osmzen_spark.compiler.errors import CompileError
+    from osmzen_spark.compiler.layer import load_layer
+
+    bad = """
+layer: broken
+geometry: [Point]
+rules:
+  - when: { compare: [{ col: x }, "wat", 3] }
+    min_zoom: 13
+    emit: { kind: x }
+"""
+    layer = load_layer(bad)
+    with pytest.raises(CompileError) as ei:
+        ArrowLayerPlan(layer)
+    msg = str(ei.value)
+    assert "layer 'broken'" in msg
+    assert "rule #0" in msg
+    assert "'when'" in msg
+    assert "compare" in msg  # the YAML fragment dump
