@@ -145,15 +145,23 @@ def main():
             t0 = time.time()
             out.count()
             steady_sec = time.time() - t0
+            t0 = time.time()
+            _noop(out)  # steady full-width write (post-checkpoint re-exec)
+            steady_write_sec = time.time() - t0
             results[cpus] = {
                 "features": n,
                 "steady_sec": round(steady_sec, 3),
+                "steady_write_sec": round(steady_write_sec, 3),
                 "pipeline_sec": round(pipeline_sec, 3),
                 "steady_features_per_sec": round(n / steady_sec, 1),
+                "steady_write_features_per_sec": round(n / steady_write_sec, 1),
                 "pipeline_features_per_sec": round(n / pipeline_sec, 1),
             }
             spark.stop()
         eff_s = results[32]["steady_features_per_sec"] / (4 * results[8]["steady_features_per_sec"])
+        eff_w = results[32]["steady_write_features_per_sec"] / (
+            4 * results[8]["steady_write_features_per_sec"]
+        )
         eff_p = results[32]["pipeline_features_per_sec"] / (4 * results[8]["pipeline_features_per_sec"])
         print(
             json.dumps(
@@ -161,6 +169,7 @@ def main():
                     "scaling": results,
                     "replicate": replicate,
                     "efficiency_8_to_32_steady": round(eff_s, 3),
+                    "efficiency_8_to_32_steady_write": round(eff_w, 3),
                     "efficiency_8_to_32_pipeline": round(eff_p, 3),
                 }
             )

@@ -1,0 +1,232 @@
+"""ALL-layers-in-one-pass Arrow evaluation.
+
+The per-layer Arrow path (arrow_layer.py) runs one Spark job per layer:
+nine scans of the derived table, nine Arrow IPC round trips, nine tag
+matrices built from the same tags column — and a ~3 s per-job floor
+(scheduling + exchange latency) that dwarfs the actual rule compute
+(measured: water 25 rules = 3.6 s, pois 279 rules = 7.0 s at local[32],
+1.65M rows — the floor, not the rules, dominates).
+
+This module evaluates EVERY layer inside one mapInArrow pass:
+
+  * one scan of the derived table, one Arrow exchange;
+  * one BatchContext per RecordBatch — the tag matrix and derived
+    column decodes are shared by all ~556 predicates of all 9 layers;
+  * one output RecordBatch per (input batch, matching layer), rows
+    tagged with zen_layer — the union that the pipeline checkpoints
+    ONCE (a single stage cut instead of nine).
+
+Per-layer frames come back as `split_layer_views` — cheap filters +
+projections over the materialized union, with per-layer emit columns
+aliased back (a key emitted with different types by different layers —
+only `bicycle`: roads string vs pois boolean — is stored as typed
+variant columns and re-aliased per view).
+
+At 100 TB this is the same shape: one pass over the elements table
+produces the layer-tagged union, checkpointed to Iceberg; per-layer
+post-processing reads partition-pruned views of that one table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from osmzen_spark.compiler.arrow_layer import (
+    ArrowLayerPlan,
+    _SPARK_TYPES,
+    _coerce_to_arrow,
+)
+from osmzen_spark.compiler.vectorized import BatchContext
+
+_PA_TYPES = {"string": pa.string(), "double": pa.float64(), "boolean": pa.bool_()}
+
+META = ("id", "type", "zen_layer", "min_zoom", "match_idx")
+
+
+def _plan_of(layer) -> ArrowLayerPlan:
+    plan = getattr(layer, "_arrow_plan", None)
+    if plan is None:
+        plan = ArrowLayerPlan(layer)
+        layer._arrow_plan = plan
+    return plan
+
+
+class MultiLayerArrowPlan:
+    """Union emit-field layout + per-layer plans."""
+
+    def __init__(self, layers: dict):
+        self.layer_names = list(layers)
+        self.plans = {n: _plan_of(l) for n, l in layers.items()}
+        # union emit fields; a key emitted with >1 distinct type gets
+        # one variant field per type
+        key_types: dict[str, dict[str, str]] = {}
+        for n, p in self.plans.items():
+            for k, t in p.emit_keys:
+                key_types.setdefault(k, {})[n] = t
+        self.field_of: dict[tuple[str, str], str] = {}  # (layer, key) -> union field
+        self.fields: list[tuple[str, str]] = []  # (field name, type)
+        seen: dict[str, str] = {}
+        for k, per_layer in key_types.items():
+            types = set(per_layer.values())
+            for t in sorted(types):
+                fname = f"__emit_{k}" if len(types) == 1 else f"__emit_{k}@{t}"
+                if fname not in seen:
+                    seen[fname] = t
+                    self.fields.append((fname, t))
+            for n, t in per_layer.items():
+                self.field_of[(n, k)] = f"__emit_{k}" if len(types) == 1 else f"__emit_{k}@{t}"
+        self.needed_keys = sorted(set().union(*[set(p.needed_keys) for p in self.plans.values()]))
+
+
+def evaluate_all_layers_arrow(
+    df: DataFrame, layers: dict, zoom: int, layer_names: list[str] | None = None
+) -> DataFrame:
+    """One mapInArrow pass over ``df`` evaluating every layer; returns
+    the layer-tagged union with variant emit columns (see module doc).
+    Use ``split_layer_views`` for per-layer frames."""
+    use = {n: layers[n] for n in (layer_names or list(layers))}
+    mplan = MultiLayerArrowPlan(use)
+
+    in_fields = list(df.schema.fields)
+    out_schema = T.StructType(
+        in_fields
+        + [
+            T.StructField("zen_layer", T.StringType()),
+            T.StructField("match_idx", T.IntegerType()),
+            T.StructField("__emit_min_zoom", T.DoubleType()),
+        ]
+        + [T.StructField(f, _SPARK_TYPES[t]) for f, t in mplan.fields]
+    )
+    zoom_gate = float(zoom + 1)
+    names_order = mplan.layer_names
+    plans = mplan.plans
+    union_fields = mplan.fields
+    field_of = mplan.field_of
+    needed_keys = mplan.needed_keys
+
+    def mapper(batches):
+        for batch in batches:
+            b = BatchContext(batch, needed_keys, zoom)
+            n = b.n
+            if n == 0:
+                continue
+            in_names = list(batch.schema.names)
+            for lname in names_order:
+                plan = plans[lname]
+                gmask = np.isin(b.geom_type(), plan.geometry_types)
+                if not gmask.any():
+                    continue
+                match = np.full(n, -1, dtype=np.int64)
+                un = gmask.copy()
+                n_rules = len(plan.preds)
+                for i, pred in enumerate(plan.preds):
+                    if not un.any():
+                        break
+                    hit = un & pred(b)
+                    if hit.any():
+                        match[hit] = i
+                        un &= ~hit
+                matched = match >= 0
+                if not matched.any():
+                    continue
+                mz = np.full(n, np.nan)
+                mz_ok = np.zeros(n, bool)
+                gids = plan.mz_of_rule[np.clip(match, 0, n_rules - 1)]
+                gids = np.where(matched, gids, -1)
+                for g in np.unique(gids):
+                    if g < 0:
+                        continue
+                    rows = gids == g
+                    vals, ok = plan.mz_fns[g](b)
+                    mz[rows] = vals[rows]
+                    mz_ok[rows] = ok[rows]
+                keep = matched & mz_ok & (zoom_gate >= mz)
+                if not keep.any():
+                    continue
+                mz = np.floor(mz * 100) / 100.0  # (ref:process.go:207)
+
+                kept = np.nonzero(keep)[0]
+                filtered = batch.filter(pa.array(keep))
+                arrays = list(filtered.columns)
+                names = list(in_names)
+                arrays.append(pa.array([lname] * len(kept), type=pa.string()))
+                names.append("zen_layer")
+                arrays.append(pa.array(match[kept].astype(np.int32)))
+                names.append("match_idx")
+                arrays.append(pa.array(mz[kept], type=pa.float64()))
+                names.append("__emit_min_zoom")
+
+                emit_cache: dict[str, np.ndarray] = {}
+                for fname, typ in union_fields:
+                    key = None
+                    for k in plan.emit_plan:
+                        if field_of.get((lname, k)) == fname:
+                            key = k
+                            break
+                    if key is None:
+                        arrays.append(pa.nulls(len(kept), type=_PA_TYPES[typ]))
+                        names.append(fname)
+                        continue
+                    rule_map = plan.emit_plan[key]
+                    nids = rule_map[match[kept]]
+                    out = np.empty(len(kept), dtype=object)
+                    out[:] = None
+                    for g in np.unique(nids):
+                        if g < 0:
+                            continue
+                        rows_local = nids == g
+                        vals = plan.emit_fns[key][g](b)
+                        out[rows_local] = vals[kept[rows_local]]
+                    arrays.append(_coerce_to_arrow(out, typ))
+                    names.append(fname)
+                yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    out = df.mapInArrow(mapper, schema=out_schema)
+    out = out.withColumn(
+        "id",
+        F.when(F.col("element_type") == "relation", -F.col("element_id")).otherwise(
+            F.col("element_id")
+        ),
+    ).withColumn("type", F.col("element_type"))
+    return out
+
+
+def split_layer_views(union: DataFrame, layers: dict, df_input_cols: list[str]) -> dict:
+    """Per-layer frames over the (checkpointed) union — filter +
+    projection, shaped identically to evaluate_layer_arrow output."""
+    mplan = MultiLayerArrowPlan(layers)
+    views = {}
+    for lname in mplan.layer_names:
+        plan = mplan.plans[lname]
+        v = union.filter(F.col("zen_layer") == lname)
+        select = [
+            F.col("id"),
+            F.col("type"),
+            F.col("zen_layer"),
+            F.col("__emit_min_zoom").alias("min_zoom"),
+            F.col("match_idx"),
+        ]
+        emit_cols = {k for k, _ in plan.emit_keys}
+        for k, _t in plan.emit_keys:
+            select.append(F.col(mplan.field_of[(lname, k)]).alias(k))
+        for k, rule_idxs in plan.network_keys.items():
+            if k in df_input_cols:
+                cond = F.col("match_idx").isin(*rule_idxs)
+                select.append(F.when(cond, F.col(k)).alias(f"__net_{k}"))
+            else:
+                select.append(F.lit(None).alias(k))
+        meta = set(META)
+        for c in df_input_cols:
+            if c not in emit_cols and c not in meta and c not in plan.network_keys:
+                select.append(F.col(c))
+        v = v.select(*select)
+        for k in plan.network_keys:
+            if f"__net_{k}" in v.columns:
+                v = v.withColumnRenamed(f"__net_{k}", k)
+        views[lname] = v
+    return views

@@ -31,6 +31,8 @@ from osmzen_spark.tiling.cells import with_tile
 class NormalizeEngine:
     def __init__(self, config: CompiledConfig | None = None):
         self.config = config or load_config()
+        self._ckpt_dir: str | None = None
+        self._ckpt_seq = 0
 
     def derive(
         self,
@@ -47,6 +49,46 @@ class NormalizeEngine:
 
             out = with_membership_columns(out, relation_members, way_nodes)
         return out
+
+    def _stage_cut(self, df: DataFrame, name: str, eager: bool) -> DataFrame:
+        """Materialize a stage boundary and truncate the plan.
+
+        Two modes (env OSMZEN_STAGE_CHECKPOINT):
+
+        * ``local`` (default): DataFrame.localCheckpoint — blocks live
+          in executor memory (spill to disk). Lowest latency, but at
+          large replicates every cached stage competes for the single
+          local-mode heap, and GC pressure makes byte-heavy downstream
+          phases ANTI-scale with core count (measured: post-process
+          execute 174 s at local[32] vs 55 s at local[8], sf0.1 x4).
+        * ``parquet``: write+read a compressed columnar checkpoint
+          under OSMZEN_CHECKPOINT_DIR (or a temp dir) — data leaves the
+          JVM heap (OS page cache holds snappy parquet at ~5-10x
+          compression), scans come back vectorized. This IS the
+          cluster design (the Iceberg stage checkpoint, lineage.py),
+          so the bench runs it.
+        """
+        import os
+        import tempfile
+
+        mode = os.environ.get("OSMZEN_STAGE_CHECKPOINT", "local")
+        # void (all-NULL) emit columns: parquet cannot store NullType;
+        # cast to string in every mode so downstream semantics are
+        # identical (a string NULL behaves exactly like an invisible
+        # void column in PropertiesContext: absent -> ''/False)
+        void_cols = [f.name for f in df.schema.fields if f.dataType.typeName() == "void"]
+        if void_cols:
+            df = df.withColumns({c: F.col(c).cast("string") for c in void_cols})
+        if mode == "parquet":
+            if self._ckpt_dir is None:
+                self._ckpt_dir = os.environ.get("OSMZEN_CHECKPOINT_DIR") or tempfile.mkdtemp(
+                    prefix="osmzen_ckpt_"
+                )
+            self._ckpt_seq += 1
+            path = f"{self._ckpt_dir}/{self._ckpt_seq:03d}_{name}"
+            df.write.mode("overwrite").parquet(path)
+            return df.sparkSession.read.parquet(path)
+        return df.localCheckpoint(eager=eager)
 
     @staticmethod
     def _point_in_bound(bound, lon_col: str = "clon", lat_col: str = "clat"):
@@ -132,12 +174,15 @@ class NormalizeEngine:
 
         * single_pass=True: ALL layers' rules + transforms in one scan
           + one projection (pipeline.singlepass), the exploded union
-          persisted (cache=True) as the only fan-out point. This is
-          the scan-bound shape for the 100 TB deployment — 1 source
-          scan instead of layers+2, with the persist replaced by an
-          Iceberg stage checkpoint (lineage.py) that doubles as the
-          kill-resume boundary. On local synthetic data the persist
-          cost exceeds the scan savings, so it is opt-in here.
+          persisted (cache=True) as the only fan-out point. One source
+          scan instead of layers+2, which matters when the SCAN is the
+          cost (cold object-store reads). Measured locally it is much
+          slower than the branch shape (it matches rules through the
+          Catalyst Column chains, not the Arrow evaluator, and
+          evaluates every layer's hoisted emit expressions for every
+          row before the explode filter), so it is A/B-retained but
+          NOT the deployable default — the branch + eager
+          stage-checkpoint shape is.
         """
         from osmzen_spark.pipeline.singlepass import eval_all_layers_single_pass, split_layers
 
@@ -158,6 +203,8 @@ class NormalizeEngine:
                 union = union.persist()
             layers = split_layers(union, names)
         else:
+            import os as _os
+
             derived = self.derive(elements, relation_members, way_nodes)
             if relation_members is not None or way_nodes is not None:
                 # cut the plan at the membership join: without this the
@@ -166,19 +213,51 @@ class NormalizeEngine:
                 # Catalyst analysis cost multiplies accordingly. On a
                 # cluster this cut is the Iceberg stage checkpoint
                 # (lineage.py).
-                derived = derived.localCheckpoint(eager=False)
-            layers = self.eval_layers(derived, zoom, names, bound=bound)
-            if cache:
-                # truncate each layer's plan before post-processing:
-                # label-placement unions, dedup splits and backfill
-                # joins each duplicate their input subtree, so without a
-                # cut the optimizer re-walks (and the driver re-holds)
-                # the full rule-evaluation tree 4-8x per layer — enough
-                # to OOM an 8g driver at 7 layers. localCheckpoint
-                # replaces the subtree with a materialized leaf (on a
-                # cluster this cut is the Iceberg stage checkpoint,
-                # lineage.py).
-                layers = {n: df.localCheckpoint(eager=True) for n, df in layers.items()}
+                derived = self._stage_cut(derived, "derived", eager=False)
+            if _os.environ.get("OSMZEN_MULTILAYER", "1") != "0":
+                # DEFAULT physical shape: ALL layers evaluated in ONE
+                # mapInArrow pass (shared tag matrix, one Arrow
+                # exchange, one job) producing the layer-tagged union;
+                # one stage cut replaces nine (arrow_multilayer.py —
+                # the 9 separate jobs each paid a ~3s scheduling/
+                # exchange floor that dominated the rule compute).
+                from osmzen_spark.compiler.arrow_multilayer import (
+                    evaluate_all_layers_arrow,
+                    split_layer_views,
+                )
+
+                if bound is not None:
+                    derived = derived.filter(
+                        (F.col("geom_type") != "Point") | self._point_in_bound(bound)
+                    )
+                use = {n: self.config.layers[n] for n in names}
+                union = evaluate_all_layers_arrow(derived, use, zoom, names)
+                if cache:
+                    union = self._stage_cut(union, "eval_union", eager=True)
+                views = split_layer_views(union, use, derived.columns)
+                layers = {}
+                for n in names:
+                    from osmzen_spark.pipeline.transforms import apply_transforms
+
+                    df = apply_transforms(views[n], self.config.layers[n].transforms, zoom)
+                    if bound is not None:
+                        df = df.filter(
+                            (F.col("geom_type") != "Point") | self._point_in_bound(bound)
+                        )
+                    layers[n] = df
+            else:
+                layers = self.eval_layers(derived, zoom, names, bound=bound)
+                if cache:
+                    # truncate each layer's plan before post-processing:
+                    # label-placement unions, dedup splits and backfill
+                    # joins each duplicate their input subtree, so
+                    # without a cut the optimizer re-walks (and the
+                    # driver re-holds) the full rule-evaluation tree
+                    # 4-8x per layer — enough to OOM an 8g driver at 7
+                    # layers. The cut replaces the subtree with a
+                    # materialized leaf (on a cluster: the Iceberg stage
+                    # checkpoint, lineage.py).
+                    layers = {n: self._stage_cut(df, n, eager=True) for n, df in layers.items()}
         layers = self.postprocess(layers, zoom, bound=bound)
         if bound is not None and clip:
             # hard-wired final step for per-tile runs: clip geometry to

@@ -33,7 +33,7 @@ def main():
     T["setup"] = time.time() - t0
 
     t0 = time.time()
-    derived = eng.derive(elements, rels, wn).localCheckpoint(eager=True)
+    derived = eng._stage_cut(eng.derive(elements, rels, wn), "derived", eager=True)
     T["derive_ckpt"] = time.time() - t0
 
     layers = {}
@@ -45,7 +45,7 @@ def main():
         df = apply_transforms(layer.evaluate(derived, 20), layer.transforms, 20)
         t_compile += time.time() - t0
         t0 = time.time()
-        layers[name] = df.localCheckpoint(eager=True)
+        layers[name] = eng._stage_cut(df, name, eager=True)
         t_exec += time.time() - t0
     T["layers_compile"] = t_compile
     T["layers_exec"] = t_exec
