@@ -313,31 +313,90 @@ def q_quantize_clamp(spark, sf_dir):
 
 
 def q_minhash_near_dup(spark, sf_dir):
-    """MinHash+LSH near-dup candidate pairs (rows-only check: banding
-    uses xxhash64, not replicable in ANSI SQL)."""
-    from osmzen_spark.ops.dedup import minhash_dedup_pairs
+    """MinHash+LSH near-dup detection, now with a TRUE DuckDB oracle:
+    LSH banding (32 hashes x 16 bands — miss probability ~1e-10 at the
+    j>=0.87 near-dup pairs this corpus contains) proposes candidates,
+    the exact word-5-gram Jaccard is computed ONLY on those candidates
+    (array_intersect on the materialized shingle arrays, never a cross
+    join), and pairs at jaccard >= 0.5 are emitted with an estimator
+    quality bit (|est - exact| <= 0.3, ~5 sigma at 32 hashes). DuckDB
+    re-derives the identical pair set + exact jaccard from the raw
+    shingle STRINGS (Jaccard is hash-invariant) and asserts est_ok —
+    so a banding miss OR a broken estimator breaks the hash."""
+    from osmzen_spark.ops.dedup import _shingles, minhash_dedup_pairs
 
     docs = _read(spark, sf_dir, "documents")
-    return minhash_dedup_pairs(docs, "text", "doc_id", num_hashes=32, bands=8).filter(
-        F.col("est_jaccard") >= 0.5
+    cand = minhash_dedup_pairs(docs, "text", "doc_id", num_hashes=32, bands=16)
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(_shingles(F.col("text"), 5)).alias("sh"),
+    ).withColumn("n", F.size("sh"))
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n").alias("n_b"))
+    joined = cand.join(a, on="id_a").join(b, on="id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.col("n_a") + F.col("n_b") - inter)
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            jac.alias("jaccard"),
+            (F.abs(F.col("est_jaccard") - jac) <= 0.3).alias("est_ok"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
     )
 
 
 def q_simhash(spark, sf_dir):
-    """SimHash fingerprints grouped into hamming buckets (rows-only)."""
-    from osmzen_spark.ops.dedup import with_simhash
+    """SimHash near-dup fingerprints, self-oracled through the exact
+    pair set: for every true near-dup pair (exact 5-gram jaccard >=
+    0.5), the 64-bit 2-gram SimHash fingerprints must agree within 16
+    bits (hamming via xor+bit_count). DuckDB re-derives the pair set
+    from raw shingle strings and asserts close=true — a fingerprint
+    whose locality property broke would flip the bit and the hash."""
+    from osmzen_spark.ops.dedup import _shingles, with_simhash
 
     docs = _read(spark, sf_dir, "documents")
-    return with_simhash(docs, "text", bits=16).select("doc_id", "simhash")
+    fp = with_simhash(docs, "text", bits=64, shingle_k=2).select("doc_id", "simhash")
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(_shingles(F.col("text"), 5)).alias("sh"),
+    ).withColumn("n", F.size("sh"))
+    ex = sh.select("id", "n", F.explode("sh").alias("g"))
+    a = ex.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"), "g")
+    b = ex.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"), "g")
+    inter = (
+        a.join(b, on="g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").alias("i"))
+    )
+    pairs = inter.select(
+        "id_a", "id_b", (F.col("i") / (F.col("n_a") + F.col("n_b") - F.col("i"))).alias("jaccard")
+    ).filter(F.col("jaccard") >= 0.5)
+    fa = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sim_a"))
+    fb = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sim_b"))
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        pairs.join(fa, on="id_a")
+        .join(fb, on="id_b")
+        .select("id_a", "id_b", (hamming <= 16).alias("close"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 def q_cosine_topk(spark, sf_dir):
-    """Brute-force cosine top-k over the embeddings table (ANN baseline)."""
+    """Exact cosine top-k over the embeddings table (ANN baseline):
+    sampled query side as a broadcast numpy matrix, per-batch BLAS
+    matmul + partial top-k inside mapInArrow, global window rank.
+    True DuckDB oracle (list_cosine_similarity + ROW_NUMBER): ranks
+    are hash-comparable because only integer ranks are emitted."""
     from osmzen_spark.ops.similarity import cosine_topk_bruteforce
 
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.pmod(F.col("vec_id"), F.lit(200)) == 0)
-    res = cosine_topk_bruteforce(emb, queries, k=3)
+    res = cosine_topk_bruteforce(emb, queries, k=3, dim=64)
     return res.select(
         F.col("q_id").alias("query_id"),
         F.col("p_id").alias("point_id"),
@@ -347,18 +406,22 @@ def q_cosine_topk(spark, sf_dir):
 
 def q_ann_recall(spark, sf_dir):
     """LSH-ANN retrieval quality, self-oracled against the exact
-    brute-force baseline: per query vector, how many of its true top-5
-    cosine neighbors appear in the multi-table LSH candidate set
-    (b=4 bits x L=24 tables -> expected recall ~0.965 on this data;
-    tests/test_ops.py asserts the average >= 0.9). Deterministic
-    hash-derived hyperplanes, so the driver's rows-only re-run is
-    byte-stable."""
+    brute-force baseline: for a 5% query sample (the scale shape — the
+    query side of an ANN job is always the small side), how many of
+    each query's true top-5 cosine neighbors appear in the multi-table
+    LSH candidate set (b=4 bits x L=24 tables -> expected recall ~0.965
+    on this data; tests/test_ops.py asserts the average >= 0.9). All
+    sign bits come from one numpy matmul per Arrow batch; candidates
+    are an int64 bucket equi-join — nothing here is O(N^2).
+    Deterministic hash-derived hyperplanes, so the driver's rows-only
+    re-run is byte-stable."""
     from osmzen_spark.ops.similarity import cosine_topk_bruteforce, lsh_ann_candidates
 
     emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.pmod(F.col("vec_id"), F.lit(20)) == 0)
     k = 5
-    truth = cosine_topk_bruteforce(emb, emb, k=k)
-    cand = lsh_ann_candidates(emb, emb, dim=64, bits=4, tables=24).withColumn(
+    truth = cosine_topk_bruteforce(emb, queries, k=k, dim=64)
+    cand = lsh_ann_candidates(emb, queries, dim=64, bits=4, tables=24).withColumn(
         "found", F.lit(1)
     )
     joined = truth.join(cand, on=["q_id", "p_id"], how="left")
@@ -798,10 +861,87 @@ def oracle_sql() -> dict[str, str]:
             WHERE i * 1.0 / (n_a + n_b - i) >= 0.5
             ORDER BY id_a, id_b
         """,
-        # text_stats / minhash / simhash / cosine_topk / ann_recall:
-        # text_stats + ngram_jaccard oracles here; hash/LSH-based ops
-        # are rows-only by design (ann_recall self-oracles against the
-        # brute-force baseline inside the query).
+        # Exact cosine top-k: DuckDB recomputes every similarity with
+        # list_cosine_similarity and ranks with ROW_NUMBER. Only the
+        # integer ranks are emitted, so last-ulp float differences
+        # between BLAS (pairwise summation) and DuckDB (sequential)
+        # cannot break the hash — rank flips would need two cosines
+        # within ~1e-12, which the random embeddings never produce.
+        "cosine_topk": """
+            WITH q AS (
+              SELECT vec_id AS q_id, embedding AS q_vec
+              FROM embeddings WHERE vec_id % 200 = 0
+            ), d AS (
+              SELECT q.q_id AS query_id, p.vec_id AS point_id,
+                     list_cosine_similarity(q.q_vec, p.embedding) AS cos
+              FROM q, embeddings p
+              WHERE p.vec_id <> q.q_id
+            )
+            SELECT query_id, point_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, point_id ASC) AS INT) AS sim_rank
+            FROM d QUALIFY sim_rank <= 3
+            ORDER BY query_id, point_id
+        """,
+        # MinHash+LSH near-dup: DuckDB re-derives the exact word-5-gram
+        # pair set from raw shingle STRINGS (Jaccard is hash-invariant)
+        # and asserts the estimator-quality bit — identical output
+        # requires (a) zero banding misses and (b) every estimate
+        # within tolerance. Shingle construction mirrors _shingles
+        # exactly: lower(trim()), split \\s+, slice(i, 5) clamped.
+        "minhash_near_dup": """
+            WITH w AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, GREATEST(len(words) - 4, 1)),
+                       i -> array_to_string(words[i:i+4], ' ')
+                     )) AS grams
+              FROM w
+            ), ex AS (
+              SELECT doc_id, len(grams) AS n, UNNEST(grams) AS g FROM sh
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+                     COUNT(*) AS i
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT id_a, id_b, i * 1.0 / (n_a + n_b - i) AS jaccard, TRUE AS est_ok
+            FROM inter
+            WHERE i * 1.0 / (n_a + n_b - i) >= 0.5
+            ORDER BY id_a, id_b
+        """,
+        # SimHash: same exact pair set; DuckDB asserts every true
+        # near-dup pair's 64-bit fingerprints agree within 16 bits.
+        "simhash": """
+            WITH w AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, GREATEST(len(words) - 4, 1)),
+                       i -> array_to_string(words[i:i+4], ' ')
+                     )) AS grams
+              FROM w
+            ), ex AS (
+              SELECT doc_id, len(grams) AS n, UNNEST(grams) AS g FROM sh
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+                     COUNT(*) AS i
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT id_a, id_b, TRUE AS close
+            FROM inter
+            WHERE i * 1.0 / (n_a + n_b - i) >= 0.5
+            ORDER BY id_a, id_b
+        """,
+        # text_stats / ann_recall: text_stats oracle below; ann_recall
+        # stays rows-only by design (it self-oracles the LSH candidate
+        # set against the exact brute-force baseline inside the query).
         "text_stats": """
             WITH w AS (
               SELECT doc_id, text,

@@ -55,10 +55,11 @@ def flagship(spark, sf_dir, replicate: int = 1):
     # materialized leaves instead of re-running the 556-rule eval tree
     # once per consumer (the round-1 cache=False bench re-executed it
     # 25-30x per action — 307s instead of ~30s at sf0.1).
-    return engine.process_unioned(
+    out = engine.process_unioned(
         elements, zoom=20, tile_zoom=14, cache=True,
         relation_members=rels, way_nodes=way_nodes,
     )
+    return out, engine
 
 
 def run_benchmarks(spark, sf_dir):
@@ -85,7 +86,7 @@ def run_benchmarks(spark, sf_dir):
     #     Taken as the second warm count so a one-off GC/eviction pause
     #     can't distort the recorded value.
     t0 = time.time()
-    out = flagship(spark, sf_dir)  # cache=True: eager stage checkpoints run here
+    out, engine = flagship(spark, sf_dir)  # cache=True: eager stage checkpoints run here
     _noop(out)
     pipeline_sec = time.time() - t0
     timings["normalize_tile_pipeline"] = round(pipeline_sec, 3)
@@ -94,6 +95,12 @@ def run_benchmarks(spark, sf_dir):
     out.count()
     flagship_sec = time.time() - t0
     timings["normalize_tile"] = round(flagship_sec, 3)
+    # free the flagship's ~1M-row stage checkpoints before the operator
+    # loop: leaving them pinned in the single local JVM heap made every
+    # byte-heavy downstream query pay their GC pressure in round 2
+    # (point_in_polygon 2.6->24 s, minhash 14->79 s — operators were
+    # never the problem)
+    engine.release()
 
     qs = entrymod.queries()
     for name in (
@@ -138,7 +145,7 @@ def main():
                 app_name=f"bench-scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
             )
             t0 = time.time()
-            out = flagship(spark, SF_DIR, replicate=replicate)
+            out, engine = flagship(spark, SF_DIR, replicate=replicate)
             _noop(out)
             pipeline_sec = time.time() - t0
             n = out.count()  # warm

@@ -47,6 +47,19 @@ _PA_TYPES = {"string": pa.string(), "double": pa.float64(), "boolean": pa.bool_(
 
 META = ("id", "type", "zen_layer", "min_zoom", "match_idx")
 
+# Spark SQL types of the membership-derived "network" passthrough keys,
+# used for typed NULL placeholders when the input lacks the membership
+# tables (NullType can't reach a parquet writer, and an untyped NULL
+# breaks downstream coalesce() against array columns).
+_NETWORK_KEY_TYPES = {
+    "mz_networks": "array<struct<route:string,network:string,ref:string>>",
+    "is_bus_route": "boolean",
+    "mz_cycling_network": "string",
+    "mz_hiking_network": "string",
+    "path_major_route_min_zoom": "double",
+    "gate_min_zoom": "double",
+}
+
 
 def _plan_of(layer) -> ArrowLayerPlan:
     plan = getattr(layer, "_arrow_plan", None)
@@ -161,7 +174,6 @@ def evaluate_all_layers_arrow(
                 arrays.append(pa.array(mz[kept], type=pa.float64()))
                 names.append("__emit_min_zoom")
 
-                emit_cache: dict[str, np.ndarray] = {}
                 for fname, typ in union_fields:
                     key = None
                     for k in plan.emit_plan:
@@ -219,7 +231,15 @@ def split_layer_views(union: DataFrame, layers: dict, df_input_cols: list[str]) 
                 cond = F.col("match_idx").isin(*rule_idxs)
                 select.append(F.when(cond, F.col(k)).alias(f"__net_{k}"))
             else:
-                select.append(F.lit(None).alias(k))
+                # typed, not void: NullType columns cannot reach a
+                # parquet writer (normalize._stage_cut casts voids, but
+                # the default multilayer branch stage-cuts BEFORE these
+                # views are built), and the type must match what the
+                # membership join would have produced so downstream
+                # coalesce()/array ops still resolve
+                select.append(
+                    F.lit(None).cast(_NETWORK_KEY_TYPES.get(k, "string")).alias(k)
+                )
         meta = set(META)
         for c in df_input_cols:
             if c not in emit_cols and c not in meta and c not in plan.network_keys:

@@ -32,7 +32,34 @@ class NormalizeEngine:
     def __init__(self, config: CompiledConfig | None = None):
         self.config = config or load_config()
         self._ckpt_dir: str | None = None
+        self._ckpt_dir_owned = False
         self._ckpt_seq = 0
+        self._local_ckpts: list[DataFrame] = []
+
+    def release(self) -> None:
+        """Free every stage-checkpoint this engine materialized.
+
+        local mode: unpersist the checkpointed RDD blocks (they pin
+        executor memory for the engine's lifetime otherwise — a warm
+        re-run needs them, a finished batch does not). parquet mode:
+        delete engine-created temp checkpoint dirs (an explicit
+        OSMZEN_CHECKPOINT_DIR is the caller's to manage). Idempotent."""
+        for df in self._local_ckpts:
+            try:
+                # the checkpointed blocks belong to the LogicalRDD the
+                # localCheckpoint produced, not to DataFrame.rdd (which
+                # derives a fresh python-row RDD)
+                df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+            except Exception:
+                pass
+        self._local_ckpts.clear()
+        if self._ckpt_dir_owned and self._ckpt_dir is not None:
+            import shutil
+
+            shutil.rmtree(self._ckpt_dir, ignore_errors=True)
+            self._ckpt_dir = None
+            self._ckpt_dir_owned = False
+            self._ckpt_seq = 0
 
     def derive(
         self,
@@ -80,15 +107,26 @@ class NormalizeEngine:
         if void_cols:
             df = df.withColumns({c: F.col(c).cast("string") for c in void_cols})
         if mode == "parquet":
+            # always eager by construction: the write IS the
+            # materialization (eager=False has no lazy analog here)
             if self._ckpt_dir is None:
-                self._ckpt_dir = os.environ.get("OSMZEN_CHECKPOINT_DIR") or tempfile.mkdtemp(
-                    prefix="osmzen_ckpt_"
-                )
+                explicit = os.environ.get("OSMZEN_CHECKPOINT_DIR")
+                if explicit:
+                    self._ckpt_dir = explicit
+                else:
+                    import atexit
+                    import shutil
+
+                    self._ckpt_dir = tempfile.mkdtemp(prefix="osmzen_ckpt_")
+                    self._ckpt_dir_owned = True
+                    atexit.register(shutil.rmtree, self._ckpt_dir, ignore_errors=True)
             self._ckpt_seq += 1
             path = f"{self._ckpt_dir}/{self._ckpt_seq:03d}_{name}"
             df.write.mode("overwrite").parquet(path)
             return df.sparkSession.read.parquet(path)
-        return df.localCheckpoint(eager=eager)
+        out = df.localCheckpoint(eager=eager)
+        self._local_ckpts.append(out)
+        return out
 
     @staticmethod
     def _point_in_bound(bound, lon_col: str = "clon", lat_col: str = "clat"):
@@ -318,7 +356,15 @@ class NormalizeEngine:
             if "label_placement" in out.columns
             else F.lit(0)
         )
-        w = Window.partitionBy("id", "type").orderBy(rank.asc(), label_last.asc())
+        # deterministic within-layer tiebreak (the reference returns
+        # Features[0] of the first non-empty layer): earliest matching
+        # rule, then lowest min_zoom
+        tiebreak = [
+            F.col(c).asc_nulls_last()
+            for c in ("match_idx", "min_zoom")
+            if c in out.columns
+        ]
+        w = Window.partitionBy("id", "type").orderBy(rank.asc(), label_last.asc(), *tiebreak)
         return (
             out.withColumn("__pref", F.row_number().over(w))
             .filter(F.col("__pref") == 1)

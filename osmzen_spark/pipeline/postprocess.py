@@ -463,7 +463,17 @@ def remove_duplicate_features(layers, zoom, params):
 
     source_layers = params.get("source_layers") or [params["source_layer"]]
     out = dict(layers)
-    for name in source_layers:
+    # Cross-layer semantics (ref:queries.yaml:1027, functions.go:510-538):
+    # ONE shared deduper over the union of all source layers, greedy
+    # first-wins in source_layers order (pois beat landuse beat
+    # buildings for the same name within min_distance). The layer rank
+    # leads the sort tuple so the per-key candidate array is scanned in
+    # exactly that order; a single-layer call degenerates to the
+    # within-layer (id, type) order.
+    super_m = 512.0 * dist_m
+    pts_frames = []
+    active: list[str] = []
+    for lrank, name in enumerate(source_layers):
         df = out.get(name)
         if df is None:
             continue
@@ -497,79 +507,106 @@ def remove_duplicate_features(layers, zoom, params):
         #      ~10^8 SIMD flops, not 10^8 Python trips);
         #   4) ANTI-join the dropped ids back (size-gated broadcast) —
         #      the fact table is never reshuffled.
-        hot_threshold = int(params.get("hot_key_threshold", 4096))
-        super_m = 512.0 * dist_m
-        pts = df.filter(eligible).select(
-            F.concat_ws("-!-", *key_cols).alias("__dk"),
-            "id",
-            "type",
-            "clon",
-            "clat",
-            F.floor(F.lit(6378137.0) * F.radians(F.col("clon")) / F.lit(super_m)).alias("__gx"),
-            F.floor(
-                F.lit(6378137.0)
-                * F.log(F.tan(F.lit(math.pi / 4.0) + F.radians(F.col("clat")) / F.lit(2.0)))
-                / F.lit(super_m)
-            ).alias("__gy"),
-        )
-        hot = (
-            pts.groupBy("__dk")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > hot_threshold)
-            .select("__dk")
-            .withColumn("__hot", F.lit(True))
-        )
-        pts = pts.join(maybe_broadcast(hot), on="__dk", how="left")
-        group_key = F.when(
-            F.col("__hot").isNotNull(),
-            F.concat_ws("@", F.col("__dk"), F.col("__gx"), F.col("__gy")),
-        ).otherwise(F.col("__dk"))
-        cands = (
-            pts.groupBy(group_key.alias("__gk"))
-            .agg(
-                F.sort_array(
-                    F.collect_list(F.struct("id", "type", "clon", "clat"))
-                ).alias("__pts")
+        active.append(name)
+        pts_frames.append(
+            df.filter(eligible).select(
+                F.concat_ws("-!-", *key_cols).alias("__dk"),
+                F.lit(lrank).alias("__lrank"),
+                "id",
+                "type",
+                "clon",
+                "clat",
+                F.floor(F.lit(6378137.0) * F.radians(F.col("clon")) / F.lit(super_m)).alias("__gx"),
+                F.floor(
+                    F.lit(6378137.0)
+                    * F.log(F.tan(F.lit(math.pi / 4.0) + F.radians(F.col("clat")) / F.lit(2.0)))
+                    / F.lit(super_m)
+                ).alias("__gy"),
             )
-            .filter(F.size("__pts") > 1)
         )
+    if not pts_frames:
+        return out
+    pts = pts_frames[0]
+    for f in pts_frames[1:]:
+        pts = pts.unionByName(f)
 
-        def drop_ids(batch_iter):
-            import numpy as np
+    hot_threshold = int(params.get("hot_key_threshold", 4096))
+    hot = (
+        pts.groupBy("__dk")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > hot_threshold)
+        .select("__dk")
+        .withColumn("__hot", F.lit(True))
+    )
+    pts = pts.join(maybe_broadcast(hot), on="__dk", how="left")
+    group_key = F.when(
+        F.col("__hot").isNotNull(),
+        F.concat_ws("@", F.col("__dk"), F.col("__gx"), F.col("__gy")),
+    ).otherwise(F.col("__dk"))
+    # sort tuple leads with the layer rank: the greedy scan walks pois
+    # candidates before landuse before buildings, then (id, type)
+    cands = (
+        pts.groupBy(group_key.alias("__gk"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("__lrank", "id", "type", "clon", "clat"))
+            ).alias("__pts")
+        )
+        .filter(F.size("__pts") > 1)
+    )
 
-            r2 = 2.0 * 6371000.0
-            for pdf in batch_iter:
-                did: list[int] = []
-                dtype: list[str] = []
-                for pts_arr in pdf["__pts"]:
-                    n = len(pts_arr)
-                    lons = np.fromiter((p["clon"] for p in pts_arr), dtype=np.float64, count=n)
-                    lats = np.fromiter((p["clat"] for p in pts_arr), dtype=np.float64, count=n)
-                    lam = np.radians(lons)
-                    phi = np.radians(lats)
-                    cphi = np.cos(phi)
-                    kept_idx = np.empty(n, dtype=np.int64)
-                    n_kept = 0
-                    for i in range(n):
-                        if n_kept:
-                            k = kept_idx[:n_kept]
-                            a = (
-                                np.sin((phi[i] - phi[k]) / 2.0) ** 2
-                                + cphi[i] * cphi[k] * np.sin((lam[i] - lam[k]) / 2.0) ** 2
-                            )
-                            d = r2 * np.arcsin(np.minimum(1.0, np.sqrt(a)))
-                            if (d < dist_m).any():
-                                did.append(pts_arr[i]["id"])
-                                dtype.append(pts_arr[i]["type"])
-                                continue
-                        kept_idx[n_kept] = i
-                        n_kept += 1
-                yield pd.DataFrame({"__did": pd.Series(did, dtype="int64"), "__dtype": pd.Series(dtype, dtype="object")})
+    def drop_ids(batch_iter):
+        import numpy as np
 
-        dropped_df = cands.mapInPandas(drop_ids, schema="__did long, __dtype string")
+        r2 = 2.0 * 6371000.0
+        for pdf in batch_iter:
+            did: list[int] = []
+            dtype: list[str] = []
+            dlrank: list[int] = []
+            for pts_arr in pdf["__pts"]:
+                n = len(pts_arr)
+                lons = np.fromiter((p["clon"] for p in pts_arr), dtype=np.float64, count=n)
+                lats = np.fromiter((p["clat"] for p in pts_arr), dtype=np.float64, count=n)
+                lam = np.radians(lons)
+                phi = np.radians(lats)
+                cphi = np.cos(phi)
+                kept_idx = np.empty(n, dtype=np.int64)
+                n_kept = 0
+                for i in range(n):
+                    if n_kept:
+                        k = kept_idx[:n_kept]
+                        a = (
+                            np.sin((phi[i] - phi[k]) / 2.0) ** 2
+                            + cphi[i] * cphi[k] * np.sin((lam[i] - lam[k]) / 2.0) ** 2
+                        )
+                        d = r2 * np.arcsin(np.minimum(1.0, np.sqrt(a)))
+                        if (d < dist_m).any():
+                            did.append(pts_arr[i]["id"])
+                            dtype.append(pts_arr[i]["type"])
+                            dlrank.append(pts_arr[i]["__lrank"])
+                            continue
+                    kept_idx[n_kept] = i
+                    n_kept += 1
+            yield pd.DataFrame(
+                {
+                    "__did": pd.Series(did, dtype="int64"),
+                    "__dtype": pd.Series(dtype, dtype="object"),
+                    "__dlrank": pd.Series(dlrank, dtype="int32"),
+                }
+            )
+
+    dropped_df = cands.mapInPandas(drop_ids, schema="__did long, __dtype string, __dlrank int")
+    if len(active) > 1:
+        # one shared scan feeds several anti-joins: cut the mapInPandas
+        # subtree so it executes once, not once per layer
+        dropped_df = dropped_df.localCheckpoint(eager=False)
+    for name in active:
+        lrank = source_layers.index(name)
+        df = out[name]
+        mine = dropped_df.filter(F.col("__dlrank") == lrank)
         out[name] = df.join(
-            maybe_broadcast(dropped_df),
-            (df["id"] == dropped_df["__did"]) & (df["type"] == dropped_df["__dtype"]),
+            maybe_broadcast(mine),
+            (df["id"] == mine["__did"]) & (df["type"] == mine["__dtype"]),
             "left_anti",
         )
     return out

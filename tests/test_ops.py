@@ -110,7 +110,7 @@ def test_ann_recall_meets_target(spark):
     import __spark_entry__ as entrymod
 
     rows = entrymod.q_ann_recall(spark, "/root/testdata/sf0.001").collect()
-    assert len(rows) == 500
+    assert len(rows) == 25  # 5% query sample of the 500 sf0.001 vectors
     avg = sum(r["recall"] for r in rows) / len(rows)
     assert avg >= 0.9, avg
 

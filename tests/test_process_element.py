@@ -119,3 +119,37 @@ def test_dedup_hot_key_bounded(spark):
     assert kept_small[0] == 0
     diffs = {b - a for a, b in zip(kept_small, kept_small[1:])}
     assert diffs == {3}, diffs
+
+
+def test_dedup_cross_layer_first_wins(spark):
+    """Cross-layer dedup (ref:queries.yaml:1027, functions.go:510-538):
+    ONE shared deduper over source_layers in order — a landuse or
+    buildings label point duplicating a pois name within range is
+    dropped even though they live in different layers, and the pois
+    point wins regardless of id order."""
+    from osmzen_spark.pipeline.postprocess import remove_duplicate_features
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, "node", "Point", n, lon, lat) for i, n, lon, lat in rows],
+            "id long, type string, geom_type string, name string, clon double, clat double",
+        )
+
+    # pois id 9 deliberately HIGHER than the landuse/buildings ids: the
+    # win must come from layer order, not id order
+    pois = mk([(9, "Central Park", 0.0, 0.0), (10, "Elsewhere", 10.0, 10.0)])
+    landuse = mk([(1, "Central Park", 0.000001, 0.0), (2, "Far Meadow", 20.0, 20.0)])
+    buildings = mk([(3, "Central Park", 0.0, 0.000001)])
+    params = {
+        "source_layers": ["pois", "landuse", "buildings"],
+        "end_zoom": 16,
+        "property_keys": ["name"],
+        "geometry_types": ["Point"],
+        "min_distance": 64.0,
+    }
+    out = remove_duplicate_features(
+        {"pois": pois, "landuse": landuse, "buildings": buildings}, 16, params
+    )
+    assert sorted(r["id"] for r in out["pois"].collect()) == [9, 10]
+    assert sorted(r["id"] for r in out["landuse"].collect()) == [2]
+    assert out["buildings"].count() == 0
