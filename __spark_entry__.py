@@ -503,6 +503,35 @@ def q_normalize_buildings(spark, sf_dir):
     ).orderBy("id")
 
 
+def q_assemble_buildings(spark, sf_dir):
+    """The OSM->GeoJSON assembly stage driver-verified end-to-end
+    (ref:process.go:301-334): RAW (nodes, way_nodes, ways) tables ->
+    way-node join + seq-sorted collect -> osm-polygon-features
+    classification -> the same rule/postprocess/tile pipeline as
+    normalize_buildings. The raw tables assemble into double-identical
+    geometry, so the oracle is the SAME full SQL re-derivation
+    (datagen arithmetic -> Mercator shoelace -> rule chain ->
+    scale_rank/clamp -> centroid -> z10 tile)."""
+    from osmzen_spark.datagen import synthetic_raw_buildings
+    from osmzen_spark.pipeline.assembly import assemble_elements
+    from osmzen_spark.pipeline.normalize import NormalizeEngine
+
+    nodes, way_nodes, ways = synthetic_raw_buildings(spark, sf_dir)
+    elements = assemble_elements(nodes, way_nodes, ways)
+    engine = NormalizeEngine()
+    layers = engine.process(elements, zoom=20, tile_zoom=10, layer_names=["buildings", "pois"])
+    b = layers["buildings"]
+    return b.select(
+        "id",
+        "kind",
+        "min_zoom",
+        F.col("height").cast("double").alias("height"),
+        F.col("area").cast("double").alias("area"),
+        "tile_x",
+        "tile_y",
+    ).orderBy("id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full normalize+tile over synthetic elements (buildings/
     pois/landuse polygons + road/path network with relation memberships)
@@ -550,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_networks": q_route_networks,
         "gate_min_zoom": q_gate_min_zoom,
         "normalize_buildings": q_normalize_buildings,
+        "assemble_buildings": q_assemble_buildings,
     }
 
 
@@ -560,7 +590,7 @@ def oracle_sql() -> dict[str, str]:
         "CAST(GREATEST(0, LEAST({n} - 1, CAST(FLOOR((1.0 - LN(TAN(RADIANS(GREATEST(-85.05112877980659, LEAST(85.05112877980659, lat)))) "
         "+ 1.0 / COS(RADIANS(GREATEST(-85.05112877980659, LEAST(85.05112877980659, lat))))) / PI()) / 2.0 * {n}) AS BIGINT))) AS BIGINT)"
     )
-    return {
+    d = {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
@@ -978,3 +1008,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
     }
+    # the assembly path reconstructs double-identical geometry from raw
+    # node/way tables, so the full normalize_buildings re-derivation IS
+    # its oracle too
+    d["assemble_buildings"] = d["normalize_buildings"]
+    return d

@@ -214,6 +214,104 @@ def _line_geometry(lon, lat, dlon, dlat):
     )
 
 
+_CORNER_NODE_BASE = 1_000_000_000_000
+
+
+def synthetic_raw_buildings(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """RAW OSM tables (nodes, way_nodes, ways) that assemble — via
+    pipeline.assembly — into exactly the building-slice elements of
+    ``synthetic_elements`` (classes 0/1/3 square building ways and
+    8/9 entrance/address nodes). The corner coordinates reuse the very
+    same Column expressions as the element generator, so the assembled
+    geometry is double-identical and the normalize_buildings DuckDB
+    oracle applies unchanged to the raw->assembled->normalized path
+    (ref:process.go:301-334 end-to-end).
+
+    nodes:     (node_id, lon, lat, tags) — 4 untagged geometry-carrier
+               corners per way + tagged entrance/address point nodes
+    way_nodes: (way_id, seq, node_id) — closed ring [0,1,2,3,0]
+    ways:      (way_id, tags)
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = li.repartition(spark.sparkContext.defaultParallelism)
+    key = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long")
+    base = li.select(
+        key.alias("k"),
+        (F.pmod(key * 9973, F.lit(360_000_000)) / 1_000_000.0 - 180.0).alias("lon"),
+        (F.pmod(key * 7919, F.lit(150_000_000)) / 1_000_000.0 - 75.0).alias("lat"),
+        F.pmod(key, F.lit(18)).cast("int").alias("cls"),
+        F.pmod(key, F.lit(25)).cast("int").alias("lvl"),
+        (F.pmod(key, F.lit(140)) + 10).cast("int").alias("side"),
+    ).filter(F.col("cls").isin(0, 1, 3, 8, 9))
+
+    lon, lat, cls = F.col("lon"), F.col("lat"), F.col("cls")
+    lvl_s = (F.col("lvl") + 1).cast("string")
+    side = F.col("side").cast("double")
+    name = F.concat(F.lit("feature "), F.col("k").cast("string"))
+
+    b = base.filter(cls.isin(0, 1, 3))
+    # identical float ops to _square_geometry
+    dlat = side / F.lit(2.0 * _M_PER_DEG)
+    dlon = side / (F.lit(2.0 * _M_PER_DEG) * F.cos(F.radians(lat)))
+    corners = F.array(
+        F.struct(F.lit(0).alias("j"), (lon - dlon).alias("clon"), (lat - dlat).alias("clat")),
+        F.struct(F.lit(1).alias("j"), (lon + dlon).alias("clon"), (lat - dlat).alias("clat")),
+        F.struct(F.lit(2).alias("j"), (lon + dlon).alias("clon"), (lat + dlat).alias("clat")),
+        F.struct(F.lit(3).alias("j"), (lon - dlon).alias("clon"), (lat + dlat).alias("clat")),
+    )
+    corner_nodes = b.select(F.col("k"), F.explode(corners).alias("c")).select(
+        (F.lit(_CORNER_NODE_BASE) + F.col("k") * 4 + F.col("c.j")).alias("node_id"),
+        F.col("c.clon").alias("lon"),
+        F.col("c.clat").alias("lat"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+
+    ring = [(s, j) for s, j in enumerate([0, 1, 2, 3, 0])]
+    way_nodes = b.select(
+        F.col("k").alias("way_id"),
+        F.explode(
+            F.array(*[F.struct(F.lit(s).alias("seq"), F.lit(j).alias("j")) for s, j in ring])
+        ).alias("m"),
+    ).select(
+        "way_id",
+        F.col("m.seq").alias("seq"),
+        (F.lit(_CORNER_NODE_BASE) + F.col("way_id") * 4 + F.col("m.j")).alias("node_id"),
+    )
+
+    way_tags = (
+        F.when(cls == 0, F.create_map(
+            F.lit("building"), F.lit("yes"),
+            F.lit("building:levels"), lvl_s,
+            F.lit("name"), name,
+        ))
+        .when(cls == 1, F.create_map(
+            F.lit("building"), F.lit("yes"),
+            F.lit("amenity"), F.lit("parking"),
+            F.lit("parking"), F.lit("multi-storey"),
+            F.lit("building:levels"), lvl_s,
+        ))
+        .otherwise(F.create_map(
+            F.lit("amenity"), F.lit("school"),
+            F.lit("building"), F.lit("yes"),
+            F.lit("name"), name,
+        ))
+    )
+    ways = b.select(F.col("k").alias("way_id"), way_tags.alias("tags"))
+
+    point_tags = F.when(cls == 8, F.create_map(F.lit("entrance"), F.lit("main"))).otherwise(
+        F.create_map(
+            F.lit("addr:housenumber"), lvl_s,
+            F.lit("addr:street"), F.lit("Main Street"),
+        )
+    )
+    point_nodes = base.filter(cls.isin(8, 9)).select(
+        F.col("k").alias("node_id"), "lon", "lat", point_tags.alias("tags")
+    )
+    return corner_nodes.unionByName(point_nodes), way_nodes, ways
+
+
 _WAY_BASE = 10_000_000_000
 _GATE_BASE = 20_000_000_000
 _BIKE_REL_BASE = 30_000_000_000

@@ -161,3 +161,16 @@ def test_multipolygon_missing_outer_gets_bound_patch(spark):
     assert list(g["ring_roles"]) == [0, 1]
     # outer is the bound padded by its own width on each side
     assert min(g["xs"][:5]) == -1.0 and max(g["xs"][:5]) == 2.0
+
+
+def test_assemble_buildings_matches_element_path(spark):
+    """The raw->assembled->normalized path produces exactly the same
+    buildings-layer rows as the element-path flagship slice (the
+    driver checks the same equality against the DuckDB oracle)."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    a = entrymod.q_assemble_buildings(spark, sf).collect()
+    b = entrymod.q_normalize_buildings(spark, sf).collect()
+    assert len(a) == len(b) > 0
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
