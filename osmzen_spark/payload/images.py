@@ -3,12 +3,13 @@
 Images ride through the engine as opaque binary columns with typed
 metadata (image_id, bytes, w, h, fmt, caption, phash — the driver
 input_hint schema). The Spark-side plumbing (schema, batching,
-mapInPandas shape, pass-through byte equality) is real and tested;
-codec-backed decode (jpeg/png/webp) is STUBBED behind
-NotImplementedError because no image libraries exist in this
-container — only fmt='raw' (w*h*3 row-major RGB bytes) decodes, which
-is what the synthetic payload uses, making the PSNR>=40dB invariant
-checkable exactly (identity pass-through -> PSNR = inf).
+mapInPandas shape, pass-through byte equality) is real and tested.
+Decoding: fmt='raw' (w*h*3 row-major RGB bytes) and fmt='png' (pure
+stdlib zlib/struct codec, all five scanline filters, 8-bit
+gray/RGB/RGBA) are fully implemented, so the PSNR>=40dB payload
+invariant runs on real encoded bytes; jpeg/webp remain STUBBED behind
+NotImplementedError because no codec libraries exist in this
+container.
 """
 
 from __future__ import annotations
@@ -27,14 +28,137 @@ def decode_raw(data: bytes, w: int, h: int) -> np.ndarray:
     return arr.reshape(h, w, 3)
 
 
+# ---------------------------------------------------------------- PNG
+# Pure-stdlib PNG codec (zlib + struct): enough for the engine's
+# PSNR>=40dB payload invariant to run on real fmt='png' rows in this
+# container. Supports non-interlaced 8-bit gray/RGB/RGBA with all five
+# scanline filters. On a cluster a codec library (Pillow/libvips)
+# replaces this; the Spark-side plumbing is identical either way.
+
+import struct
+import zlib
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, 3) uint8 RGB (alpha dropped, gray replicated)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    w = h = None
+    channels = None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + body + crc
+        if ctype == b"IHDR":
+            w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if bit_depth != 8:
+                raise NotImplementedError(f"PNG bit depth {bit_depth} (only 8 supported)")
+            if interlace:
+                raise NotImplementedError("interlaced (Adam7) PNG not supported")
+            channels = {0: 1, 2: 3, 6: 4}.get(color_type)
+            if channels is None:
+                raise NotImplementedError(f"PNG color type {color_type}")
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int64)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 1:  # Sub — per-channel prefix sum
+            cur = line.reshape(w, bpp)
+            cur = np.cumsum(cur, axis=0) & 0xFF
+            cur = cur.reshape(stride)
+        elif ftype == 3:  # Average
+            cur = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
+                cur[i] = (line[i] + _paeth(int(left), int(prev[i]), int(ul))) & 0xFF
+            cur = cur
+        else:
+            raise ValueError(f"PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    img = out.reshape(h, w, channels)
+    if channels == 1:
+        img = np.repeat(img, 3, axis=2)
+    elif channels == 4:
+        img = img[:, :, :3]
+    return img
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> PNG bytes (filter 0, one IDAT)."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image_batch(bytes_s: pd.Series, w_s: pd.Series, h_s: pd.Series, fmt_s: pd.Series) -> list[np.ndarray]:
-    """Decode a batch of images. Only fmt='raw' is supported in this
-    container; codec formats raise (STUB — swap in a real decoder when
-    Pillow/ffmpeg are available on the cluster)."""
+    """Decode a batch of images. fmt='raw' (w*h*3 RGB bytes) and
+    fmt='png' (stdlib codec below) decode here; jpeg/webp raise (STUB —
+    swap in a real decoder when Pillow/ffmpeg are available on the
+    cluster)."""
     out = []
     for data, w, h, fmt in zip(bytes_s, w_s, h_s, fmt_s):
         if fmt == "raw":
             out.append(decode_raw(data, int(w), int(h)))
+        elif fmt == "png":
+            out.append(decode_png(bytes(data)))
         else:
             raise NotImplementedError(
                 f"image codec {fmt!r} not available in this environment (stub)"

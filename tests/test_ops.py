@@ -131,3 +131,81 @@ def test_ngram_jaccard_pairs_exact(spark):
     assert set(pairs) == {(1, 2)}
     # 7 shingles each, 6 shared -> 6/8
     assert abs(pairs[(1, 2)] - 0.75) < 1e-12
+
+
+def _png_with_filters(img, filters):
+    """Hand-assemble a PNG whose scanlines use the given filter types
+    (exercises the decoder's Sub/Up/Average/Paeth reconstruction)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from osmzen_spark.payload.images import _PNG_SIG, _paeth
+
+    h, w, _ = img.shape
+    bpp = 3
+    stride = w * bpp
+    flat = img.reshape(h, stride).astype(np.int64)
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for y, ftype in zip(range(h), filters):
+        line = flat[y]
+        filt = np.zeros(stride, dtype=np.int64)
+        for i in range(stride):
+            left = line[i - bpp] if i >= bpp else 0
+            ul = prev[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                filt[i] = line[i]
+            elif ftype == 1:
+                filt[i] = line[i] - left
+            elif ftype == 2:
+                filt[i] = line[i] - prev[i]
+            elif ftype == 3:
+                filt[i] = line[i] - (left + prev[i]) // 2
+            else:
+                filt[i] = line[i] - _paeth(int(left), int(prev[i]), int(ul))
+        raw.append(ftype)
+        raw += bytes((filt & 0xFF).astype(np.uint8).tolist())
+        prev = line
+
+    def chunk(ctype, body):
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(
+            ">I", zlib.crc32(ctype + body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+
+
+def test_png_codec_roundtrip_and_filters():
+    import numpy as np
+
+    from osmzen_spark.payload.images import decode_png, encode_png, psnr
+
+    rng_img = (
+        np.arange(8 * 8 * 3, dtype=np.int64) * 2654435761 % 251
+    ).astype(np.uint8).reshape(8, 8, 3)
+    assert psnr(decode_png(encode_png(rng_img)), rng_img) == float("inf")
+    # every scanline filter type reconstructs exactly
+    data = _png_with_filters(rng_img, [0, 1, 2, 3, 4, 4, 3, 1])
+    assert psnr(decode_png(data), rng_img) == float("inf")
+
+
+def test_png_payload_psnr_gate(spark):
+    """PSNR>=40dB payload invariant on real fmt='png' rows through the
+    mapInPandas feature pipeline (decode is no longer a stub)."""
+    import numpy as np
+
+    from osmzen_spark.payload.images import encode_png, with_image_features
+
+    img = (np.arange(6 * 4 * 3, dtype=np.int64) * 40503 % 256).astype(np.uint8).reshape(4, 6, 3)
+    rows = [("png-1", bytearray(encode_png(img)), 6, 4, "png", "cap", 7)]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+    )
+    feats = with_image_features(df).collect()[0]
+    assert abs(feats["mean_r"] - img[:, :, 0].mean()) < 1e-9
+    assert abs(feats["brightness"] - img.mean()) < 1e-9
