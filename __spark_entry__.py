@@ -532,6 +532,25 @@ def q_assemble_buildings(spark, sf_dir):
     ).orderBy("id")
 
 
+def q_image_features(spark, sf_dir):
+    """Multimodal payload path, driver-verified end-to-end: synthetic
+    8x8 images (closed-form arithmetic pixels; even keys PNG-encoded
+    via the stdlib codec, odd keys raw RGB) -> Arrow-batched decode ->
+    channel means + 64-bit luma average-hash. The DuckDB oracle
+    re-derives every decoded pixel from the arithmetic pattern and
+    recomputes means and hash bits with exact integer comparisons —
+    a codec bug, a batching bug, or a hash bug all break the hash
+    match. Captions ride through byte-identical (input_hint
+    invariant)."""
+    from osmzen_spark.datagen import synthetic_images
+    from osmzen_spark.payload.images import with_image_hashes
+
+    imgs = synthetic_images(spark, sf_dir)
+    return with_image_hashes(imgs).select(
+        "image_id", "mean_r", "mean_g", "mean_b", "ahash_lo", "ahash_hi", "caption"
+    ).orderBy("image_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full normalize+tile over synthetic elements (buildings/
     pois/landuse polygons + road/path network with relation memberships)
@@ -580,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gate_min_zoom": q_gate_min_zoom,
         "normalize_buildings": q_normalize_buildings,
         "assemble_buildings": q_assemble_buildings,
+        "image_features": q_image_features,
     }
 
 
@@ -1012,4 +1032,46 @@ def oracle_sql() -> dict[str, str]:
     # node/way tables, so the full normalize_buildings re-derivation IS
     # its oracle too
     d["assemble_buildings"] = d["normalize_buildings"]
+    # multimodal decode path: DuckDB re-derives every pixel of the
+    # arithmetic image pattern and recomputes channel means (exact:
+    # integer sums over 64 = 2^6 pixels) and the luma average-hash
+    # (exact: 64*luma > total integer comparison, bit (y*8+x), emitted
+    # as two unsigned 32-bit halves to avoid int64 sign-wrap).
+    d["image_features"] = """
+        WITH ks AS (
+          SELECT DISTINCT l_orderkey * 8 + l_linenumber AS k,
+                 ((l_orderkey * 8 + l_linenumber) * 2654435761) % 2147483648 AS seed
+          FROM lineitem
+        ), px AS (
+          SELECT k, x, y, c, (seed + 7*x + 13*y + 29*c) % 256 AS v
+          FROM ks,
+               generate_series(0, 7) tx(x),
+               generate_series(0, 7) ty(y),
+               generate_series(0, 2) tc(c)
+        ), luma AS (
+          SELECT k, x, y,
+                 SUM(CASE c WHEN 0 THEN 299*v WHEN 1 THEN 587*v ELSE 114*v END) AS l
+          FROM px GROUP BY k, x, y
+        ), tot AS (
+          SELECT k, SUM(l) AS total FROM luma GROUP BY k
+        ), bits AS (
+          SELECT luma.k,
+                 CAST(SUM(CASE WHEN 64*l > total AND (y*8+x) < 32
+                          THEN (CAST(1 AS BIGINT) << (y*8+x)) ELSE 0 END) AS BIGINT) AS ahash_lo,
+                 CAST(SUM(CASE WHEN 64*l > total AND (y*8+x) >= 32
+                          THEN (CAST(1 AS BIGINT) << (y*8+x-32)) ELSE 0 END) AS BIGINT) AS ahash_hi
+          FROM luma JOIN tot USING (k) GROUP BY luma.k
+        ), means AS (
+          SELECT k,
+                 CAST(SUM(CASE WHEN c = 0 THEN v END) AS DOUBLE) / 64.0 AS mean_r,
+                 CAST(SUM(CASE WHEN c = 1 THEN v END) AS DOUBLE) / 64.0 AS mean_g,
+                 CAST(SUM(CASE WHEN c = 2 THEN v END) AS DOUBLE) / 64.0 AS mean_b
+          FROM px GROUP BY k
+        )
+        SELECT 'img-' || k AS image_id, mean_r, mean_g, mean_b,
+               ahash_lo, ahash_hi,
+               'caption for element ' || k AS caption
+        FROM means JOIN bits USING (k)
+        ORDER BY image_id
+    """
     return d

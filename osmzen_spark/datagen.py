@@ -432,26 +432,72 @@ def _network_from_base(base: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame
     return elements, relation_members, way_nodes
 
 
-def synthetic_images(spark: SparkSession, sf_dir: str, w: int = 8, h: int = 8) -> DataFrame:
-    """Payload table (input_hint shape). bytes = deterministic raw RGB
-    derived from the id — decodable without codecs (fmt='raw': w*h*3
-    bytes, row-major). Caption is a deterministic string."""
+def synthetic_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload table (input_hint shape), one 8x8 RGB image per lineitem
+    row. Pixels follow a closed-form arithmetic pattern —
+    pixel(x, y, c) = (seed + 7x + 13y + 29c) mod 256 with
+    seed = (key * 2654435761) mod 2^31 — so a SQL oracle can re-derive
+    every decoded value without any codec. Even keys are PNG-encoded
+    (the stdlib codec in payload.images), odd keys raw RGB bytes; the
+    phash column is the REAL 64-bit luma average-hash of the pixels
+    (payload.images.luma_ahash64), not a placeholder."""
+    import pyarrow as pa
+
+    from osmzen_spark.payload.images import encode_png, luma_ahash64
+
+    w = h = 8
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = li.repartition(spark.sparkContext.defaultParallelism)
     key = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long")
-    seed = F.pmod(key * 6364136223846793005 + 1442695040888963407, F.lit(2**31)).cast("int")
-    # w*h*3 bytes: repeat a 3-byte deterministic pixel
-    pixel = F.concat(
-        F.chr(F.pmod(seed, F.lit(256))),
-        F.chr(F.pmod(seed / 256, F.lit(256)).cast("int")),
-        F.chr(F.pmod(seed / 65536, F.lit(256)).cast("int")),
+    # the driver's lineitem is not TPC-H-exact: (orderkey, linenumber)
+    # collides, so image ids must be deduped to stay a key
+    keys = li.select(key.alias("k")).distinct()
+
+    out_schema = (
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long, element_id long"
     )
-    return li.select(
-        F.concat(F.lit("img-"), key.cast("string")).alias("image_id"),
-        F.encode(F.repeat(pixel, w * h), "ISO-8859-1").cast("binary").alias("bytes"),
-        F.lit(w).alias("w"),
-        F.lit(h).alias("h"),
-        F.lit("raw").alias("fmt"),
-        F.concat(F.lit("caption for element "), key.cast("string")).alias("caption"),
-        key.alias("phash"),
-        key.alias("element_id"),
-    )
+
+    def mapper(batches):
+        import numpy as np
+
+        xs = np.arange(w).reshape(1, 1, w, 1)
+        ys = np.arange(h).reshape(1, h, 1, 1)
+        cs = np.arange(3).reshape(1, 1, 1, 3)
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ks = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            seeds = (ks * 2654435761) % (2**31)
+            px = (
+                (seeds.reshape(n, 1, 1, 1) + 7 * xs + 13 * ys + 29 * cs) % 256
+            ).astype(np.uint8)
+            blobs, fmts, hashes = [], [], []
+            for i in range(n):
+                img = px[i]
+                hashes.append(luma_ahash64(img))
+                if ks[i] % 2 == 0:
+                    blobs.append(encode_png(img))
+                    fmts.append("png")
+                else:
+                    blobs.append(img.tobytes())
+                    fmts.append("raw")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([f"img-{k}" for k in ks]),
+                    pa.array(blobs, type=pa.binary()),
+                    pa.array(np.full(n, w, dtype=np.int32)),
+                    pa.array(np.full(n, h, dtype=np.int32)),
+                    pa.array(fmts),
+                    pa.array([f"caption for element {k}" for k in ks]),
+                    pa.array(np.array(hashes, dtype=np.int64)),
+                    pa.array(ks),
+                ],
+                names=[
+                    "image_id", "bytes", "w", "h", "fmt",
+                    "caption", "phash", "element_id",
+                ],
+            )
+
+    return keys.mapInArrow(mapper, schema=out_schema)

@@ -20,6 +20,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -171,6 +172,99 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0:
         return float("inf")
     return 10.0 * np.log10(255.0**2 / mse)
+
+
+def luma_ahash64(img: np.ndarray) -> int:
+    """64-bit average-hash perceptual fingerprint of an (8, 8, 3) RGB
+    image: integer ITU-R BT.601 luma (299r + 587g + 114b, scaled x1000
+    so everything stays exact int64), bit (y*8+x) set iff the pixel's
+    luma is strictly above the image mean. The comparison is done as
+    64*luma > total so both this and the DuckDB oracle compare exact
+    integers — no float thresholds anywhere. Returned as a SIGNED
+    int64 (bit 63 wraps), the input_hint phash column type."""
+    assert img.shape == (8, 8, 3)
+    px = img.astype(np.int64)
+    luma = 299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+    total = int(luma.sum())
+    bits = (64 * luma.reshape(-1) > total).astype(np.uint64)
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    return int((bits * weights).sum(dtype=np.uint64).astype(np.int64))
+
+
+_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("ahash_lo", T.LongType()),
+        T.StructField("ahash_hi", T.LongType()),
+        T.StructField("caption", T.StringType()),
+    ]
+)
+
+
+def with_image_hashes(images: DataFrame) -> DataFrame:
+    """Decode -> channel means + 64-bit average-hash per image
+    (mapInPandas; Arrow batch transfer, numpy math). The hash is
+    emitted as two unsigned 32-bit halves in int64 columns so the
+    DuckDB oracle never has to reproduce int64 sign-wrap semantics."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            imgs = decode_image_batch(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])
+            means = np.array([im.reshape(-1, 3).mean(axis=0) for im in imgs])
+            hashes = np.array([luma_ahash64(im) for im in imgs], dtype=np.int64)
+            u = hashes.astype(np.uint64)
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"].values,
+                    "mean_r": means[:, 0],
+                    "mean_g": means[:, 1],
+                    "mean_b": means[:, 2],
+                    "ahash_lo": (u & np.uint64(0xFFFFFFFF)).astype(np.int64),
+                    "ahash_hi": (u >> np.uint64(32)).astype(np.int64),
+                    "caption": pdf["caption"].values,
+                }
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt", "caption").mapInPandas(
+        extract, schema=_HASH_SCHEMA
+    )
+
+
+def phash_dedup_pairs(
+    images: DataFrame, bands: int = 4, id_col: str = "image_id", phash_col: str = "phash"
+) -> DataFrame:
+    """Near-duplicate image candidate pairs via banded hamming buckets
+    over the 64-bit perceptual hash: each image explodes into ``bands``
+    16-bit band keys; a pair is a candidate if ANY band matches (two
+    hashes within hamming distance bands-1 always share a band by
+    pigeonhole). Equi-join on int64 keys — the standard shuffle-
+    friendly shape at 10^12 images; exact hamming verification on the
+    candidate set only."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    keys = F.array(
+        *[
+            F.lit(b * (1 << 32)).cast("long")
+            + F.shiftrightunsigned(F.col(phash_col), b * width).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ]
+    )
+    banded = images.select(F.col(id_col).alias("id"), F.col(phash_col).alias("ph"), F.explode(keys).alias("bk"))
+    a = banded.select(F.col("id").alias("id_a"), F.col("ph").alias("ph_a"), "bk")
+    b = banded.select(F.col("id").alias("id_b"), F.col("ph").alias("ph_b"), "bk")
+    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (
+        a.join(b, on="bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .groupBy("id_a", "id_b")
+        .agg(F.min("hamming").alias("hamming"))
+    )
 
 
 _FEATURE_SCHEMA = T.StructType(
