@@ -435,6 +435,28 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_ivf_ann(spark, sf_dir):
+    """IVF-flat ANN (the coarse-quantizer scale path next to LSH):
+    points assigned to their nearest of 16 centroids (one argmax
+    matmul per Arrow batch — the Iceberg partition column at scale),
+    queries probe their 4 nearest cells, candidates are a cid
+    equi-join, exact cosine rerank on candidates only. Centroids are
+    the deterministic hash-derived codebook so the DuckDB oracle
+    re-derives the identical index from embedded literals; only
+    integer ranks are emitted (rank flips would need two cosines
+    within ~1e-12 — see cosine_topk)."""
+    from osmzen_spark.ops.similarity import ivf_ann_topk, ivf_centroids
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.pmod(F.col("vec_id"), F.lit(200)) == 0)
+    res = ivf_ann_topk(emb, queries, ivf_centroids(64, 16), k=3, nprobe=4, dim=64)
+    return res.select(
+        F.col("q_id").alias("query_id"),
+        F.col("p_id").alias("point_id"),
+        F.col("sim_rank").cast("int").alias("sim_rank"),
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact word-3-gram Jaccard near-dup pairs (explode-shingle
     equi-join, no cross join). True DuckDB oracle: the Jaccard of
@@ -594,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "ann_recall": q_ann_recall,
+        "ivf_ann": q_ivf_ann,
         "ngram_jaccard": q_ngram_jaccard,
         "route_networks": q_route_networks,
         "gate_min_zoom": q_gate_min_zoom,
@@ -1032,6 +1055,47 @@ def oracle_sql() -> dict[str, str]:
     # node/way tables, so the full normalize_buildings re-derivation IS
     # its oracle too
     d["assemble_buildings"] = d["normalize_buildings"]
+    # IVF ANN: DuckDB re-derives the ENTIRE index from the embedded
+    # centroid codebook (the same deterministic float64 values the
+    # Spark job uses, repr'd so the decimal literals round-trip
+    # exactly): nearest-cell assignment, 4-cell probe, cid-join
+    # candidates, exact cosine rerank. Integer ranks only.
+    from osmzen_spark.ops.similarity import ivf_centroids
+
+    cent_vals = ",\n              ".join(
+        "({}, [{}])".format(i, ", ".join(repr(float(v)) for v in row))
+        for i, row in enumerate(ivf_centroids(64, 16))
+    )
+    d["ivf_ann"] = f"""
+        WITH cent(cid, cvec) AS (
+          VALUES {cent_vals}
+        ), pa AS (
+          SELECT p.vec_id AS p_id, p.embedding, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                    ORDER BY list_cosine_similarity(c.cvec, CAST(p.embedding AS DOUBLE[])) DESC,
+                             c.cid) AS rn
+          FROM embeddings p CROSS JOIN cent c
+        ), passign AS (
+          SELECT p_id, embedding, cid FROM pa WHERE rn = 1
+        ), qa AS (
+          SELECT q.vec_id AS q_id, q.embedding AS q_vec, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(c.cvec, CAST(q.embedding AS DOUBLE[])) DESC,
+                             c.cid) AS rn
+          FROM embeddings q CROSS JOIN cent c WHERE q.vec_id % 200 = 0
+        ), qassign AS (
+          SELECT q_id, q_vec, cid FROM qa WHERE rn <= 4
+        ), dd AS (
+          SELECT qq.q_id AS query_id, p.p_id AS point_id,
+                 list_cosine_similarity(qq.q_vec, p.embedding) AS cos
+          FROM qassign qq JOIN passign p ON qq.cid = p.cid AND p.p_id <> qq.q_id
+        )
+        SELECT query_id, point_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, point_id ASC) AS INT) AS sim_rank
+        FROM dd QUALIFY sim_rank <= 3
+        ORDER BY query_id, point_id
+    """
     # multimodal decode path: DuckDB re-derives every pixel of the
     # arithmetic image pattern and recomputes channel means (exact:
     # integer sums over 64 = 2^6 pixels) and the luma average-hash

@@ -224,6 +224,188 @@ def lsh_ann_candidates(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path.
+#
+# Structure (FAISS IVF-flat analog, re-expressed as DataFrame ops):
+#   * a small centroid codebook (driver-side numpy; k-means-trained in
+#     production via ivf_train_kmeans, deterministic hash-derived in
+#     the oracle-checked driver query so DuckDB can re-derive it);
+#   * every point is assigned to its nearest centroid — ONE argmax
+#     matmul per Arrow batch (this is the partitioning column at
+#     10^12 scale: cluster id = Iceberg partition, so a probe touches
+#     nprobe partitions and the scan prunes the rest);
+#   * a query probes its nprobe nearest centroids; candidates are an
+#     equi-join on cid (shuffle on a 16..65536-value key, never a
+#     cross join); exact cosine rerank runs only on candidates, again
+#     as vectorized numpy against the broadcast query matrix.
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(dim: int, n_centroids: int) -> np.ndarray:
+    """Deterministic unit-norm centroid codebook from the splitmix64
+    hyperplane generator (index offset keeps it independent of the LSH
+    planes). Used by the oracle-checked driver query: DuckDB re-embeds
+    these exact float64 values as literals, so assignment is exactly
+    reproducible. Production path trains with ivf_train_kmeans."""
+    c = np.array([_hyperplane(dim, 10_000 + i) for i in range(n_centroids)], dtype=np.float64)
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def ivf_train_kmeans(
+    df: DataFrame,
+    dim: int,
+    n_centroids: int,
+    iters: int = 5,
+    sample_mod: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means codebook from a deterministic id-mod sample
+    (the sample — not the full table — comes to the driver; at 10^12
+    rows pick sample_mod so the sample is ~10^5-10^6 rows, the standard
+    IVF training budget). Init is the hash-derived codebook; each Lloyd
+    iteration assigns by max dot and re-normalizes the cluster means;
+    empty clusters keep their previous centroid. Returns unit-norm
+    (n_centroids, dim) float64."""
+    sample = df.filter(F.pmod(F.col(id_col), F.lit(sample_mod)) == 0) if sample_mod > 1 else df
+    _, x = _collect_query_matrix(sample, id_col, vec_col)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    c = ivf_centroids(dim, n_centroids)
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(n_centroids):
+            members = x[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    c[j] = m / n
+    return c
+
+
+def ivf_assign_arrow(
+    df: DataFrame,
+    centroids: np.ndarray,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_id: str = "p_id",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """(id, cid[, vec]) rows: each vector's nprobe nearest centroids by
+    cosine, from one matmul per Arrow batch. nprobe=1 is the point-side
+    assignment (the partition column at scale); nprobe>1 is the
+    query-side probe fan-out. Ties break on ascending cid (matches the
+    oracle's ORDER BY sim DESC, cid)."""
+    c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    dim = c.shape[1]
+    fields = [T.StructField(out_id, T.LongType()), T.StructField("cid", T.IntegerType())]
+    if keep_vec:
+        fields.append(T.StructField(vec_col, df.schema[vec_col].dataType))
+    schema = T.StructType(fields)
+
+    def mapper(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(batch.schema.get_field_index(id_col)).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            vec_arr = batch.column(batch.schema.get_field_index(vec_col))
+            v = _vec_matrix(vec_arr, dim)
+            v = v / np.linalg.norm(v, axis=1, keepdims=True)
+            sims = v @ c.T  # (n, n_centroids)
+            take = min(nprobe, c.shape[0])
+            # lexsort: primary -sims, secondary cid ascending (stable)
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :take]  # (n, take)
+            arrays = [
+                pa.array(np.repeat(ids, take)),
+                pa.array(order.ravel().astype(np.int32)),
+            ]
+            names = [out_id, "cid"]
+            if keep_vec:
+                if isinstance(vec_arr, pa.ChunkedArray):
+                    vec_arr = vec_arr.combine_chunks()
+                arrays.append(vec_arr.take(pa.array(np.repeat(np.arange(n), take))))
+                names.append(vec_col)
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return df.select(id_col, vec_col).mapInArrow(mapper, schema=schema)
+
+
+def ivf_ann_topk(
+    points: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF-flat top-k: points assigned to 1 cell (carrying their vector
+    through the Arrow batch — no second shuffle to re-fetch it), query
+    probes nprobe cells, candidates = equi-join on cid (a point lives
+    in exactly one cell, so pairs are already distinct), exact cosine
+    rerank on candidates only via the broadcast query matrix. Output
+    (q_id, p_id, cosine, sim_rank<=k)."""
+    if dim is None:
+        dim = points.select(F.size(vec_col)).first()[0]
+    q_ids, q_mat = _collect_query_matrix(queries, id_col, vec_col)
+    q_sorted = np.argsort(q_ids)
+    q_ids_s = q_ids[q_sorted]
+    q_norm_s = (q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True))[q_sorted]
+    sc = points.sparkSession.sparkContext
+    bc = sc.broadcast((q_ids_s, q_norm_s))
+
+    p_assign = ivf_assign_arrow(
+        points, centroids, nprobe=1, id_col=id_col, vec_col=vec_col, out_id="p_id", keep_vec=True
+    )
+    q_probe = ivf_assign_arrow(
+        queries, centroids, nprobe=nprobe, id_col=id_col, vec_col=vec_col, out_id="q_id"
+    )
+    cand = q_probe.join(p_assign, on="cid").filter(F.col("p_id") != F.col("q_id"))
+
+    schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField("p_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def rerank(batches):
+        ids_s, qn = bc.value
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            qid = batch.column(batch.schema.get_field_index("q_id")).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            pid = batch.column(batch.schema.get_field_index("p_id")).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            v = _vec_matrix(batch.column(batch.schema.get_field_index(vec_col)), dim)
+            v = v / np.linalg.norm(v, axis=1, keepdims=True)
+            qrow = qn[np.searchsorted(ids_s, qid)]  # (n, dim) gather
+            cos = np.einsum("ij,ij->i", qrow, v)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(qid), pa.array(pid), pa.array(cos)],
+                names=["q_id", "p_id", "cosine"],
+            )
+
+    scored = cand.select("q_id", "p_id", vec_col).mapInArrow(rerank, schema=schema)
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("p_id").asc())
+    return (
+        scored.withColumn("sim_rank", F.row_number().over(w))
+        .filter(F.col("sim_rank") <= k)
+        .select("q_id", "p_id", "cosine", "sim_rank")
+    )
+
+
 def lsh_bucket_candidates(
     points: DataFrame,
     queries: DataFrame,

@@ -209,3 +209,61 @@ def test_png_payload_psnr_gate(spark):
     feats = with_image_features(df).collect()[0]
     assert abs(feats["mean_r"] - img[:, :, 0].mean()) < 1e-9
     assert abs(feats["brightness"] - img.mean()) < 1e-9
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    """With nprobe = n_centroids the IVF candidate set is every point
+    except self, so IVF-flat must reproduce the exact brute-force
+    top-k bit-for-bit (rank-for-rank) — a determinism gate on the
+    whole assign/probe/join/rerank chain."""
+    from osmzen_spark.ops.similarity import ivf_ann_topk, ivf_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.pmod(F.col("vec_id"), F.lit(50)) == 0)
+    cents = ivf_centroids(64, 8)
+    ivf = ivf_ann_topk(emb, q, cents, k=3, nprobe=8, dim=64)
+    bf = cosine_topk_bruteforce(emb, q, k=3, dim=64)
+    a = {(r["q_id"], r["sim_rank"]): r["p_id"] for r in ivf.collect()}
+    b = {(r["q_id"], r["sim_rank"]): r["p_id"] for r in bf.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_ivf_partial_probe_recall(spark):
+    """nprobe=4 of 16 cells on the sf0.001 embeddings: the scale path
+    (cells prune 75% of the scan) must beat the nprobe/ncent=0.25
+    no-structure floor. The synthetic embeddings are near-uniform
+    random directions — the worst case for any clustering index
+    (measured 0.416 offline); real clustered embeddings recall far
+    higher, and the exactness of the chain is covered by the
+    full-probe test above."""
+    from osmzen_spark.ops.similarity import ivf_ann_topk, ivf_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.pmod(F.col("vec_id"), F.lit(20)) == 0)
+    cents = ivf_centroids(64, 16)
+    ivf = ivf_ann_topk(emb, q, cents, k=5, nprobe=4, dim=64)
+    bf = cosine_topk_bruteforce(emb, q, k=5, dim=64)
+    got = {(r["q_id"], r["p_id"]) for r in ivf.collect()}
+    truth = {(r["q_id"], r["p_id"]) for r in bf.collect()}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.35, recall
+
+
+def test_ivf_kmeans_training(spark):
+    """Lloyd iterations on the deterministic sample must not worsen
+    the spherical inertia (mean max cosine to the codebook)."""
+    import numpy as np
+
+    from osmzen_spark.ops.similarity import ivf_centroids, ivf_train_kmeans
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = emb.select("embedding").collect()
+    x = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    c0 = ivf_centroids(64, 8)
+    c5 = ivf_train_kmeans(emb, 64, 8, iters=5)
+    inertia0 = (x @ c0.T).max(axis=1).mean()
+    inertia5 = (x @ c5.T).max(axis=1).mean()
+    assert c5.shape == (8, 64)
+    assert np.allclose(np.linalg.norm(c5, axis=1), 1.0)
+    assert inertia5 >= inertia0 - 1e-9, (inertia0, inertia5)
