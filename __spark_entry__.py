@@ -1012,9 +1012,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE i * 1.0 / (n_a + n_b - i) >= 0.5
             ORDER BY id_a, id_b
         """,
-        # text_stats / ann_recall: text_stats oracle below; ann_recall
-        # stays rows-only by design (it self-oracles the LSH candidate
-        # set against the exact brute-force baseline inside the query).
+        # ann_recall gets a full index re-derivation below (planes are
+        # deterministic, so DuckDB rebuilds the same LSH).
         "text_stats": """
             WITH w AS (
               SELECT doc_id, text,
@@ -1095,6 +1094,54 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY cos DESC, point_id ASC) AS INT) AS sim_rank
         FROM dd QUALIFY sim_rank <= 3
         ORDER BY query_id, point_id
+    """
+    # LSH ANN recall: DuckDB re-derives the ENTIRE multi-table LSH
+    # index from the embedded deterministic hyperplanes (the same
+    # splitmix64-derived float64 values the Spark matmul uses, repr'd
+    # for exact round-trip): 96 sign bits -> 24 big-endian 4-bit bucket
+    # ids (+ table<<32), band equi-join candidates, exact top-5 truth
+    # via list_cosine_similarity, per-query recall. Sign/rank flips
+    # would need a dot product within ~1e-12 of a boundary.
+    from osmzen_spark.ops.similarity import _plane_matrix
+
+    plane_vals = ",\n              ".join(
+        "({}, [{}])".format(i, ", ".join(repr(float(v)) for v in row))
+        for i, row in enumerate(_plane_matrix(64, 4 * 24))
+    )
+    d["ann_recall"] = f"""
+        WITH planes(pidx, pvec) AS (
+          VALUES {plane_vals}
+        ), bits AS (
+          SELECT e.vec_id, p.pidx,
+                 CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), p.pvec) >= 0
+                      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+          FROM embeddings e CROSS JOIN planes p
+        ), buckets AS (
+          SELECT vec_id,
+                 SUM(bit << (3 - (pidx % 4))) + (pidx // 4) * 4294967296 AS bucket
+          FROM bits GROUP BY vec_id, pidx // 4
+        ), qb AS (
+          SELECT vec_id AS q_id, bucket FROM buckets WHERE vec_id % 20 = 0
+        ), cand AS (
+          SELECT DISTINCT qb.q_id, pb.vec_id AS p_id
+          FROM qb JOIN buckets pb USING (bucket)
+          WHERE pb.vec_id <> qb.q_id
+        ), truth AS (
+          SELECT q.vec_id AS q_id, p.vec_id AS p_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                    CAST(p.embedding AS DOUBLE[])) DESC,
+                             p.vec_id ASC) AS rn
+          FROM embeddings q JOIN embeddings p ON p.vec_id <> q.vec_id
+          WHERE q.vec_id % 20 = 0
+        ), t5 AS (
+          SELECT q_id, p_id FROM truth WHERE rn <= 5
+        )
+        SELECT t5.q_id AS query_id,
+               CAST(SUM(CASE WHEN c.p_id IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS n_found,
+               SUM(CASE WHEN c.p_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0 AS recall
+        FROM t5 LEFT JOIN cand c ON t5.q_id = c.q_id AND t5.p_id = c.p_id
+        GROUP BY t5.q_id ORDER BY query_id
     """
     # multimodal decode path: DuckDB re-derives every pixel of the
     # arithmetic image pattern and recomputes channel means (exact:
