@@ -573,6 +573,35 @@ def q_image_features(spark, sf_dir):
     ).orderBy("image_id")
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min gap) of the events table — the
+    batch twin of the applyInPandasWithState streaming operator
+    (osmzen_spark/streaming/events.py; tests/test_streaming.py asserts
+    stream/batch equality). Pure window Columns: lag-gap flag +
+    running sum = session id; microsecond-integer bounds so the DuckDB
+    oracle compares integers, and the value sum accumulates in
+    decimal(18,6) on both engines."""
+    from osmzen_spark.streaming.events import sessionize_batch
+
+    e = _read(spark, sf_dir, "events")
+    return sessionize_batch(e, gap_minutes=30).orderBy("user_id", "session_id")
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs: multi-table hyperplane
+    LSH candidates (6 bits x 16 tables — the same deterministic
+    96-plane matrix the ann_recall index uses) verified by the exact
+    cosine (one einsum per Arrow batch), threshold 0.40. The DuckDB
+    oracle re-derives the entire index AND the exact verification, so
+    a banding bug, a plane bug, or a cosine bug all break the hash."""
+    from osmzen_spark.ops.similarity import embedding_near_dup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_near_dup(emb, dim=64, threshold=0.40, bits=6, tables=16).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full normalize+tile over synthetic elements (buildings/
     pois/landuse polygons + road/path network with relation memberships)
@@ -623,6 +652,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_buildings": q_normalize_buildings,
         "assemble_buildings": q_assemble_buildings,
         "image_features": q_image_features,
+        "sessionize": q_sessionize,
+        "embedding_near_dup": q_embedding_near_dup,
     }
 
 
@@ -1184,5 +1215,59 @@ def oracle_sql() -> dict[str, str]:
                'caption for element ' || k AS caption
         FROM means JOIN bits USING (k)
         ORDER BY image_id
+    """
+    # gap sessionization (batch twin of the stateful streaming op):
+    # microsecond-integer bounds; the value sum accumulates in
+    # decimal(18,6) on both engines before ONE cast to double
+    d["sessionize"] = """
+        WITH s AS (
+          SELECT user_id, event_id, epoch_us(ts) AS tus, value,
+                 CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), t AS (
+          SELECT user_id, event_id, tus, value,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM s
+        )
+        SELECT user_id, CAST(sid AS INT) AS session_id,
+               MIN(tus) AS session_start_us, MAX(tus) AS session_end_us,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM t GROUP BY user_id, sid
+        ORDER BY user_id, session_id
+    """
+    # embedding-cosine near-dup: full index re-derivation (the same 96
+    # planes as ann_recall, sliced 6 bits x 16 tables) + exact cosine
+    # verification at threshold 0.40; ids only, so the hash is immune
+    # to summation-order ulps (a flip needs a true cosine within
+    # float64 noise of 0.40)
+    d["embedding_near_dup"] = f"""
+        WITH planes(pidx, pvec) AS (
+          VALUES {plane_vals}
+        ), bits AS (
+          SELECT e.vec_id, p.pidx,
+                 CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), p.pvec) >= 0
+                      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+          FROM embeddings e CROSS JOIN planes p
+        ), buckets AS (
+          SELECT vec_id,
+                 SUM(bit << (5 - (pidx % 6))) + (pidx // 6) * 4294967296 AS bucket
+          FROM bits GROUP BY vec_id, pidx // 6
+        ), cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM buckets a JOIN buckets b USING (bucket)
+          WHERE a.vec_id < b.vec_id
+        )
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.id_a
+        JOIN embeddings eb ON eb.vec_id = c.id_b
+        WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                     CAST(eb.embedding AS DOUBLE[])) >= 0.40
+        ORDER BY id_a, id_b
     """
     return d

@@ -431,3 +431,76 @@ def lsh_bucket_candidates(
     return cand.withColumn(
         "cosine", cosine_sim(F.col("q_vec").cast("array<double>"), F.col("p_vec").cast("array<double>"))
     ).select("q_id", "p_id", "bucket", "cosine")
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    dim: int,
+    threshold: float,
+    bits: int = 6,
+    tables: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: multi-table hyperplane
+    LSH generates candidates (int64 bucket equi-join, a < b), then the
+    EXACT cosine verifies each candidate in one einsum per Arrow batch.
+    Returns (id_a, id_b) — ids only, so a re-derivation oracle is
+    hash-exact (a float boundary flip would need a true cosine within
+    float64 noise of ``threshold``).
+
+    Scale shape (10^12 rows): candidates shuffle on bucket ids —
+    O(sum of bucket-pair sizes), never all-pairs; verification joins
+    shuffle on vector ids. Recall is the banding curve
+    1-(1-p^bits)^tables with p = 1 - acos(cos)/pi; production near-dup
+    dedup (threshold ~0.9) uses bits ~16 so buckets stay small — the
+    defaults here are sized for this synthetic table's looser
+    threshold. Near-dup DEDUP is this + keep-lowest-id anti-join,
+    identical to ops.dedup's minhash shape."""
+    a = lsh_buckets_arrow(df, dim, bits, tables, id_col, vec_col, out_id="id_a")
+    b = lsh_buckets_arrow(df, dim, bits, tables, id_col, vec_col, out_id="id_b")
+    pairs = (
+        a.join(b, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    e = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+    paired = (
+        pairs.join(e.select(F.col("__id").alias("id_a"), F.col("__vec").alias("vec_a")), "id_a")
+        .join(e.select(F.col("__id").alias("id_b"), F.col("__vec").alias("vec_b")), "id_b")
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def verify(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ia = batch.column(batch.schema.get_field_index("id_a")).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            ib = batch.column(batch.schema.get_field_index("id_b")).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            va = _vec_matrix(batch.column(batch.schema.get_field_index("vec_a")), dim)
+            vb = _vec_matrix(batch.column(batch.schema.get_field_index("vec_b")), dim)
+            va /= np.linalg.norm(va, axis=1, keepdims=True)
+            vb /= np.linalg.norm(vb, axis=1, keepdims=True)
+            cos = np.einsum("ij,ij->i", va, vb)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ia), pa.array(ib), pa.array(cos)], names=["id_a", "id_b", "cosine"]
+            )
+
+    return (
+        paired.mapInArrow(verify, schema=schema)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b")
+    )

@@ -33,6 +33,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # deterministic timestamp semantics regardless of box TZ: NTZ
+        # parquet values cast to instants at face value (the DuckDB
+        # oracles compare epoch_us of naive timestamps)
+        .config("spark.sql.session.timeZone", "UTC")
         # our rule-engine projections are wide (60+ emit columns); the
         # default maxFields=100 silently disables whole-stage codegen
         # for them (interpreted eval, ~2x slower end-to-end). Janino

@@ -1,0 +1,15 @@
+from osmzen_spark.streaming.events import (
+    EVENTS_SCHEMA,
+    read_events_stream,
+    sessionize_batch,
+    sessionize_stream,
+    stream_events_hourly,
+)
+
+__all__ = [
+    "EVENTS_SCHEMA",
+    "read_events_stream",
+    "sessionize_batch",
+    "sessionize_stream",
+    "stream_events_hourly",
+]

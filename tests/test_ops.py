@@ -267,3 +267,69 @@ def test_ivf_kmeans_training(spark):
     assert c5.shape == (8, 64)
     assert np.allclose(np.linalg.norm(c5, axis=1), 1.0)
     assert inertia5 >= inertia0 - 1e-9, (inertia0, inertia5)
+
+
+def test_embedding_near_dup_matches_exact_within_candidates(spark):
+    """The emitted pair set must equal {LSH candidates} ∩ {exact cosine
+    >= τ}, re-derived independently in numpy from the same planes."""
+    from osmzen_spark.ops.similarity import _plane_matrix, embedding_near_dup
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 16)
+    # plant three near-dup pairs: slightly perturbed copies
+    base[10] = base[3] + 0.05 * rng.randn(16)
+    base[20] = base[5] + 0.05 * rng.randn(16)
+    base[30] = base[8] + 0.05 * rng.randn(16)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup(df, dim=16, threshold=0.9, bits=6, tables=16).collect()
+    )
+
+    # numpy twin (float32 round-trip like the parquet/arrow path)
+    V = base.astype(np.float32).astype(np.float64)
+    planes = _plane_matrix(16, 96)
+    bit = (V @ planes.T >= 0).astype(np.int64).reshape(40, 16, 6)
+    w = 2 ** np.arange(5, -1, -1, dtype=np.int64)
+    buckets = (bit * w).sum(axis=2) + np.arange(16, dtype=np.int64) * (1 << 32)
+    cand = set()
+    from collections import defaultdict
+
+    bk = defaultdict(list)
+    for i, row in enumerate(buckets):
+        for b in row:
+            bk[b].append(i)
+    for members in bk.values():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                cand.add((min(members[i], members[j]), max(members[i], members[j])))
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    want = sorted((a, b) for (a, b) in cand if Vn[a] @ Vn[b] >= 0.9)
+    assert got == want
+    # the planted near-dups must be found (cos ~0.998 -> per-table
+    # p^6 ~ 0.87, 16 tables -> recall ~1-1e-14)
+    assert {(3, 10), (5, 20), (8, 30)} <= set(got)
+
+
+def test_sessionize_batch_semantics(spark):
+    """Hand-built event stream with known session structure."""
+    from osmzen_spark.streaming.events import sessionize_batch
+
+    rows = [
+        # user 1: two sessions (gap 31 min between event 2 and 3)
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+        (2, "2024-01-01 10:10:00", 1, "view", 2.0, "{}"),
+        (3, "2024-01-01 10:41:00.000001", 1, "click", 4.0, "{}"),
+        # user 2: one session, exactly-30-min gap does NOT split
+        (4, "2024-01-01 09:00:00", 2, "click", 8.0, "{}"),
+        (5, "2024-01-01 09:30:00", 2, "view", 16.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["sum_value"])
+        for r in sessionize_batch(df, gap_minutes=30).collect()
+    }
+    assert out == {(1, 1): (2, 3.0), (1, 2): (1, 4.0), (2, 1): (2, 24.0)}
