@@ -573,6 +573,25 @@ def q_image_features(spark, sf_dir):
     ).orderBy("image_id")
 
 
+def q_image_resize(spark, sf_dir):
+    """Multimodal resize stage, byte-exact: decode (raw + stdlib PNG)
+    -> 2x2 average-pool (integer floor) -> raw RGB bytes, compared as
+    a full hex dump. The DuckDB oracle re-derives every pooled byte
+    from the arithmetic pixel pattern, so a decode, pooling, layout,
+    or byte-order bug breaks the hash."""
+    from osmzen_spark.datagen import synthetic_images
+    from osmzen_spark.payload.images import resize_images
+
+    imgs = synthetic_images(spark, sf_dir)
+    r = resize_images(imgs, factor=2)
+    return r.select(
+        "image_id",
+        "out_w",
+        "out_h",
+        F.hex(F.col("resized")).alias("resized_hex"),
+    ).orderBy("image_id")
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min gap) of the events table — the
     batch twin of the applyInPandasWithState streaming operator
@@ -654,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "sessionize": q_sessionize,
         "embedding_near_dup": q_embedding_near_dup,
+        "image_resize": q_image_resize,
     }
 
 
@@ -1214,6 +1234,30 @@ def oracle_sql() -> dict[str, str]:
                ahash_lo, ahash_hi,
                'caption for element ' || k AS caption
         FROM means JOIN bits USING (k)
+        ORDER BY image_id
+    """
+    # resize stage: every pooled byte re-derived from the arithmetic
+    # pixel pattern; floor(mean of the 2x2 block) == SUM // 4 exactly
+    d["image_resize"] = """
+        WITH ks AS (
+          SELECT DISTINCT l_orderkey * 8 + l_linenumber AS k,
+                 ((l_orderkey * 8 + l_linenumber) * 2654435761) % 2147483648 AS seed
+          FROM lineitem
+        ), px AS (
+          SELECT k, x, y, c, (seed + 7*x + 13*y + 29*c) % 256 AS v
+          FROM ks,
+               generate_series(0, 7) tx(x),
+               generate_series(0, 7) ty(y),
+               generate_series(0, 2) tc(c)
+        ), pooled AS (
+          SELECT k, y // 2 AS py, x // 2 AS qx, c, SUM(v) // 4 AS pv
+          FROM px GROUP BY k, y // 2, x // 2, c
+        )
+        SELECT 'img-' || k AS image_id,
+               4 AS out_w, 4 AS out_h,
+               upper(string_agg(lpad(to_hex(pv), 2, '0'), ''
+                     ORDER BY py, qx, c)) AS resized_hex
+        FROM pooled GROUP BY k
         ORDER BY image_id
     """
     # gap sessionization (batch twin of the stateful streaming op):

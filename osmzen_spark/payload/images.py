@@ -308,3 +308,55 @@ def with_image_features(images: DataFrame) -> DataFrame:
     return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
         extract, schema=_FEATURE_SCHEMA
     )
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(images: DataFrame, factor: int = 2) -> DataFrame:
+    """Decode -> average-pool downsample by ``factor`` -> raw RGB bytes
+    (the resize stage of a multimodal training pipeline, as a
+    mapInPandas batch op). Pooling is integer-exact — each output
+    byte is floor(mean) of a factor x factor block — so a SQL oracle
+    can re-derive every output byte (driver query q_image_resize
+    compares the full hex dump). Frame-sampling for video payloads is
+    this same shape with a (frame_idx % k) selector in front."""
+
+    def pool(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            imgs = decode_image_batch(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])
+            out_bytes, ows, ohs = [], [], []
+            for im in imgs:
+                h, w, _ = im.shape
+                oh, ow = h // factor, w // factor
+                p = (
+                    im[: oh * factor, : ow * factor]
+                    .astype(np.int64)
+                    .reshape(oh, factor, ow, factor, 3)
+                    .sum(axis=(1, 3))
+                    // (factor * factor)
+                ).astype(np.uint8)
+                out_bytes.append(p.tobytes())
+                ows.append(ow)
+                ohs.append(oh)
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"].values,
+                    "out_w": np.array(ows, dtype=np.int32),
+                    "out_h": np.array(ohs, dtype=np.int32),
+                    "resized": out_bytes,
+                }
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        pool, schema=_RESIZE_SCHEMA
+    )
