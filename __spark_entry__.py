@@ -323,14 +323,18 @@ def q_minhash_near_dup(spark, sf_dir):
     re-derives the identical pair set + exact jaccard from the raw
     shingle STRINGS (Jaccard is hash-invariant) and asserts est_ok —
     so a banding miss OR a broken estimator breaks the hash."""
-    from osmzen_spark.ops.dedup import _shingles, minhash_dedup_pairs
+    from osmzen_spark.ops.dedup import minhash_dedup_pairs, shingle_explode
 
     docs = _read(spark, sf_dir, "documents")
     cand = minhash_dedup_pairs(docs, "text", "doc_id", num_hashes=32, bands=16)
-    sh = docs.select(
-        F.col("doc_id").alias("id"),
-        F.array_distinct(_shingles(F.col("text"), 5)).alias("sh"),
-    ).withColumn("n", F.size("sh"))
+    # exact-verify side: one Arrow shingle pass (the Column-expression
+    # chain would be recomputed per join side, interpreted)
+    sh = (
+        shingle_explode(docs, "text", "doc_id", 5)
+        .select("id", "n", F.xxhash64("g").alias("g"))
+        .groupBy("id", "n")
+        .agg(F.collect_list("g").alias("sh"))
+    )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n").alias("n_b"))
     joined = cand.join(a, on="id_a").join(b, on="id_b")
@@ -539,9 +543,15 @@ def q_assemble_buildings(spark, sf_dir):
     from osmzen_spark.pipeline.normalize import NormalizeEngine
 
     nodes, way_nodes, ways = synthetic_raw_buildings(spark, sf_dir)
-    elements = assemble_elements(nodes, way_nodes, ways)
+    # stage-cut the assembly output (the Iceberg stage checkpoint on a
+    # cluster): the node-join + seq-sorted collect subtree costs ~22s
+    # at sf0.1 and cache=False layer branches would re-execute it once
+    # per consumer (~10x, measured 227s for the uncut query)
+    elements = assemble_elements(nodes, way_nodes, ways).localCheckpoint(eager=True)
     engine = NormalizeEngine()
-    layers = engine.process(elements, zoom=20, tile_zoom=10, layer_names=["buildings", "pois"])
+    layers = engine.process(
+        elements, zoom=20, tile_zoom=10, layer_names=["buildings", "pois"], cache=True
+    )
     b = layers["buildings"]
     return b.select(
         "id",

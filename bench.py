@@ -62,29 +62,22 @@ def flagship(spark, sf_dir, replicate: int = 1):
     return out, engine
 
 
-def run_benchmarks(spark, sf_dir):
-    import __spark_entry__ as entrymod
-    from pyspark.sql import functions as F
+def run_flagship_bench(spark, sf_dir):
+    """Flagship normalize + tile assign (feature throughput metric).
 
+    Three numbers, all honest and reproducible:
+      * normalize_tile_pipeline: wall-clock to build + fully execute
+        the pipeline once from raw input to wide output rows — plan
+        compile, rule eval, stage-checkpoint materialization,
+        post-processing, write. The everything-included number.
+      * normalize_tile (headline, matches the round-1 protocol):
+        steady-state per-action time — re-running the post-checkpoint
+        portion once plans are compiled and stage checkpoints are
+        materialized, i.e. the marginal batch cost on a warm cluster.
+        Taken as the second warm count so a one-off GC/eviction pause
+        can't distort the recorded value.
+    """
     timings: dict[str, float] = {}
-
-    def timed(name, df):
-        t0 = time.time()
-        _noop(df)
-        timings[name] = round(time.time() - t0, 3)
-
-    # flagship: normalize + tile assign (feature throughput metric).
-    # Three numbers, all honest and reproducible:
-    #   * normalize_tile_pipeline: wall-clock to build + fully execute
-    #     the pipeline once from raw input to wide output rows — plan
-    #     compile, rule eval, stage-checkpoint materialization,
-    #     post-processing, write. The everything-included number.
-    #   * normalize_tile (headline, matches the round-1 protocol):
-    #     steady-state per-action time — re-running the post-checkpoint
-    #     portion once plans are compiled and stage checkpoints are
-    #     materialized, i.e. the marginal batch cost on a warm cluster.
-    #     Taken as the second warm count so a one-off GC/eviction pause
-    #     can't distort the recorded value.
     t0 = time.time()
     out, engine = flagship(spark, sf_dir)  # cache=True: eager stage checkpoints run here
     _noop(out)
@@ -95,13 +88,20 @@ def run_benchmarks(spark, sf_dir):
     out.count()
     flagship_sec = time.time() - t0
     timings["normalize_tile"] = round(flagship_sec, 3)
-    # free the flagship's ~1M-row stage checkpoints before the operator
-    # loop: leaving them pinned in the single local JVM heap made every
-    # byte-heavy downstream query pay their GC pressure in round 2
-    # (point_in_polygon 2.6->24 s, minhash 14->79 s — operators were
-    # never the problem)
     engine.release()
+    return timings, n_features, flagship_sec
 
+
+def run_operator_bench(spark, sf_dir):
+    """Per-operator timings. MUST run in a session whose JVM never ran
+    the flagship: round 2/3 measurements showed the flagship's residue
+    (generated classes, broadcast blocks, old-gen heap growth) inflating
+    unrelated operator queries 5-20x (text_stats 0.7s standalone vs
+    14.8s after the flagship; point_in_polygon 4.4 vs 24.2;
+    minhash 14.5 vs 287-911) even after engine.release()."""
+    import __spark_entry__ as entrymod
+
+    timings: dict[str, float] = {}
     qs = entrymod.queries()
     for name in (
         "pricing_summary",
@@ -122,9 +122,10 @@ def run_benchmarks(spark, sf_dir):
         "image_features",
         "assemble_buildings",
     ):
-        timed(name, qs[name](spark, sf_dir))
-
-    return timings, n_features, flagship_sec
+        t0 = time.time()
+        _noop(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+    return timings
 
 
 def main():
@@ -199,8 +200,31 @@ def main():
         )
         return
 
-    spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 8))
-    timings, n_features, flagship_sec = run_benchmarks(spark, SF_DIR)
+    if "--ops-only" in sys.argv:
+        spark = get_spark(
+            app_name="bench-ops", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 8)
+        )
+        print(json.dumps(run_operator_bench(spark, SF_DIR)))
+        return
+
+    # the operator loop runs in a CHILD process: the flagship's JVM
+    # residue must not contaminate operator timings (see
+    # run_operator_bench docstring), and a fresh JVM is the only
+    # guaranteed-clean isolation in local mode
+    import subprocess
+
+    spark = get_spark(
+        app_name="bench-flagship", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 8)
+    )
+    timings, n_features, flagship_sec = run_flagship_bench(spark, SF_DIR)
+    spark.stop()
+    child = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--ops-only"],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    timings.update(json.loads(child.stdout.strip().splitlines()[-1]))
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
