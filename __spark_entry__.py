@@ -602,6 +602,40 @@ def q_image_resize(spark, sf_dir):
     ).orderBy("image_id")
 
 
+def q_audio_features(spark, sf_dir):
+    """Audio payload path: synthetic PCM16 clips (closed-form sample
+    pattern, payload/av.py) -> one-Arrow-pass decode + integer feature
+    extract (sample sum, energy, zero crossings). The DuckDB oracle
+    re-derives every 16-bit sample from the arithmetic pattern and
+    recomputes all three features with exact integer arithmetic, so a
+    decode, byte-order, or windowing bug breaks the hash."""
+    from osmzen_spark.payload.av import audio_features, synthetic_audio
+
+    aud = synthetic_audio(spark, sf_dir)
+    return audio_features(aud).orderBy("audio_id")
+
+
+def q_video_frame_sample(spark, sf_dir):
+    """Video frame sampling (clip -> keyframes, the training-pipeline
+    shape): synthetic 6-frame raw-RGB clips -> every-2nd-frame explode
+    with byte-exact frame hex dumps + per-channel integer sums. The
+    DuckDB oracle re-derives each sampled frame pixel-by-pixel from
+    the arithmetic pattern, so frame indexing, byte layout, and the
+    channel sums are all hash-checked."""
+    from osmzen_spark.payload.av import sample_frames, synthetic_video
+
+    vid = synthetic_video(spark, sf_dir)
+    s = sample_frames(vid, every=2)
+    return s.select(
+        "video_id",
+        "frame_idx",
+        F.hex("frame").alias("frame_hex"),
+        "sum_r",
+        "sum_g",
+        "sum_b",
+    ).orderBy("video_id", "frame_idx")
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min gap) of the events table — the
     batch twin of the applyInPandasWithState streaming operator
@@ -684,6 +718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "embedding_near_dup": q_embedding_near_dup,
         "image_resize": q_image_resize,
+        "audio_features": q_audio_features,
+        "video_frame_sample": q_video_frame_sample,
     }
 
 
@@ -1269,6 +1305,53 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY py, qx, c)) AS resized_hex
         FROM pooled GROUP BY k
         ORDER BY image_id
+    """
+    # audio decode path: every 16-bit sample re-derived from the
+    # closed-form pattern; sum / energy / zero-crossings are exact
+    # integers (lag NULL at i=0 falls to ELSE 0, matching the Arrow
+    # side's v[1:] vs v[:-1] comparison)
+    d["audio_features"] = """
+        WITH ks AS (
+          SELECT DISTINCT o_orderkey AS k,
+                 (o_orderkey * 2654435761) % 2147483648 AS seed
+          FROM orders
+        ), samp AS (
+          SELECT k, i, ((seed + 7919*i) % 65536) - 32768 AS v
+          FROM ks, generate_series(0, 63) ti(i)
+        ), lagd AS (
+          SELECT k, i, v, lag(v) OVER (PARTITION BY k ORDER BY i) AS pv
+          FROM samp
+        )
+        SELECT 'aud-' || k AS audio_id,
+               CAST(64 AS INT) AS n_samples,
+               CAST(SUM(v) AS BIGINT) AS sum_v,
+               CAST(SUM(v*v) AS BIGINT) AS sum_sq,
+               CAST(SUM(CASE WHEN (v >= 0) != (pv >= 0) THEN 1 ELSE 0 END) AS INT)
+                 AS zero_crossings
+        FROM lagd GROUP BY k ORDER BY audio_id
+    """
+    # video keyframe sampling: sampled frames (0, 2, 4 of 6) re-derived
+    # pixel-by-pixel; the full hex dump checks byte layout exactly
+    d["video_frame_sample"] = """
+        WITH ks AS (
+          SELECT DISTINCT o_orderkey AS k,
+                 (o_orderkey * 2654435761) % 2147483648 AS seed
+          FROM orders
+        ), px AS (
+          SELECT k, f, x, y, c, (seed + 7*x + 13*y + 29*c + 31*f) % 256 AS v
+          FROM ks,
+               (VALUES (0), (2), (4)) tf(f),
+               generate_series(0, 7) tx(x),
+               generate_series(0, 7) ty(y),
+               generate_series(0, 2) tc(c)
+        )
+        SELECT 'vid-' || k AS video_id, CAST(f AS INT) AS frame_idx,
+               upper(string_agg(lpad(to_hex(v), 2, '0'), '' ORDER BY y, x, c)) AS frame_hex,
+               CAST(SUM(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r,
+               CAST(SUM(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
+               CAST(SUM(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b
+        FROM px GROUP BY k, f
+        ORDER BY video_id, frame_idx
     """
     # gap sessionization (batch twin of the stateful streaming op):
     # microsecond-integer bounds; the value sum accumulates in

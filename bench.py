@@ -120,6 +120,8 @@ def run_operator_bench(spark, sf_dir):
         "embedding_near_dup",
         "sessionize",
         "image_features",
+        "audio_features",
+        "video_frame_sample",
         "assemble_buildings",
     ):
         t0 = time.time()
