@@ -602,6 +602,35 @@ def q_image_resize(spark, sf_dir):
     ).orderBy("image_id")
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (ops/asof.py): every click event matched to the same
+    user's most recent prior view event — the union-and-window plan
+    (one shuffle on user_id, no range explode). DuckDB re-derives the
+    result with its native ASOF LEFT JOIN; (user_id, ts) is unique in
+    the events table at every SF, so the match is deterministic."""
+    from osmzen_spark.ops.asof import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    j = asof_join(
+        clicks, views, by=["user_id"], left_ts="ts", right_ts="ts",
+        right_payload=["view_id"],
+    )
+    return j.select(
+        F.col("event_id").alias("click_event_id"),
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("click_ts_us"),
+        F.col("asof_view_id").alias("view_event_id"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(F.col("asof_ts").cast("timestamp"))).alias("gap_us"),
+        "value",
+    ).orderBy("click_event_id")
+
+
 def q_audio_features(spark, sf_dir):
     """Audio payload path: synthetic PCM16 clips (closed-form sample
     pattern, payload/av.py) -> one-Arrow-pass decode + integer feature
@@ -720,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize": q_image_resize,
         "audio_features": q_audio_features,
         "video_frame_sample": q_video_frame_sample,
+        "asof_join": q_asof_join,
     }
 
 
@@ -1305,6 +1335,26 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY py, qx, c)) AS resized_hex
         FROM pooled GROUP BY k
         ORDER BY image_id
+    """
+    # as-of join: DuckDB's native ASOF LEFT JOIN is the oracle for the
+    # union-and-window implementation; integer microsecond timestamps
+    # and pass-through doubles keep the hash exact
+    d["asof_join"] = """
+        WITH v AS (
+          SELECT user_id, ts, event_id AS view_id
+          FROM events WHERE event_type = 'view'
+        ), c AS (
+          SELECT event_id, user_id, ts, value
+          FROM events WHERE event_type = 'click'
+        )
+        SELECT c.event_id AS click_event_id, c.user_id,
+               epoch_us(c.ts) AS click_ts_us,
+               v.view_id AS view_event_id,
+               epoch_us(c.ts) - epoch_us(v.ts) AS gap_us,
+               c.value AS value
+        FROM c ASOF LEFT JOIN v
+          ON c.user_id = v.user_id AND v.ts <= c.ts
+        ORDER BY click_event_id
     """
     # audio decode path: every 16-bit sample re-derived from the
     # closed-form pattern; sum / energy / zero-crossings are exact

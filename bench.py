@@ -119,6 +119,7 @@ def run_operator_bench(spark, sf_dir):
         "ngram_jaccard",
         "embedding_near_dup",
         "sessionize",
+        "asof_join",
         "image_features",
         "audio_features",
         "video_frame_sample",
