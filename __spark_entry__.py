@@ -694,6 +694,148 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def q_radius_join(spark, sf_dir):
+    """Distance-within spatial join (tiling/rangejoin.py): all customers
+    within 300 km of each synthetic station, via Morton-cell ring
+    candidate expansion + exact haversine — one int64 equi-join, no
+    theta/cross join. z=5, ring=1 covers 300 km completely for
+    |lat| < 75 (envelope math in the module docstring; the brute-force
+    DuckDB oracle is the completeness check)."""
+    from osmzen_spark.tiling.rangejoin import within_distance_join
+
+    pts = _customer_points(spark, sf_dir)
+    n = _read(spark, sf_dir, "nation")
+    stations = n.select(
+        F.col("n_nationkey").alias("id"),
+        (F.pmod(F.col("n_nationkey") * 2654435761, F.lit(320000000)) / 1000000.0 - 160.0).alias("lon"),
+        (F.pmod(F.col("n_nationkey") * 2246822519, F.lit(120000000)) / 1000000.0 - 60.0).alias("lat"),
+    )
+    j = within_distance_join(stations, pts, radius_m=300_000.0, z=5, ring=1)
+    return (
+        j.groupBy(F.col("l_id").alias("station_id"))
+        .agg(F.count("*").alias("n_within"), F.sum("r_id").cast("long").alias("sum_ids"))
+        .orderBy("station_id")
+    )
+
+
+def q_tile_pyramid(spark, sf_dir):
+    """Tile-pyramid rollup (tiling/pyramid.py): point counts + id sums
+    per tile at z8, hierarchically rolled up to z6/z4/z2 by integer
+    shifts — the raw points shuffle ONCE; each coarser level aggregates
+    the previous level's (4^step x smaller) output, and Spark's
+    exchange reuse shares the base shuffle across the union branches."""
+    from osmzen_spark.tiling.pyramid import tile_pyramid_rollup
+
+    pts = _customer_points(spark, sf_dir)
+    return tile_pyramid_rollup(
+        pts, zmax=8, zmin=2, step=2, value=F.col("id")
+    ).orderBy("z", "tile_x", "tile_y")
+
+
+def q_rect_overlap(spark, sf_dir):
+    """Rectangle-overlap spatial join (tiling/overlap.py): supplier
+    rects x part rects on covered z6 tiles, exact interval test, and
+    duplicate-free output WITHOUT a distinct shuffle — a pair is
+    emitted only from the tile containing the overlap's NW corner.
+    The DuckDB oracle is the exact brute-force cross join (including
+    the overlap-box area, bit-identical double arithmetic)."""
+    from osmzen_spark.tiling.overlap import rect_overlap_join
+
+    s = _read(spark, sf_dir, "supplier")
+    a = s.select(
+        F.col("s_suppkey").alias("id"),
+        (F.pmod(F.col("s_suppkey") * 2654435761, F.lit(300000000)) / 1000000.0 - 150.0).alias("_cx"),
+        (F.pmod(F.col("s_suppkey") * 2246822519, F.lit(120000000)) / 1000000.0 - 60.0).alias("_cy"),
+        (F.pmod(F.col("s_suppkey"), F.lit(20)) / 10.0 + 0.5).alias("_hl"),
+        (F.pmod(F.col("s_suppkey"), F.lit(15)) / 10.0 + 0.5).alias("_hh"),
+    ).select(
+        "id",
+        (F.col("_cx") - F.col("_hl")).alias("x1"),
+        (F.col("_cx") + F.col("_hl")).alias("x2"),
+        (F.col("_cy") - F.col("_hh")).alias("y1"),
+        (F.col("_cy") + F.col("_hh")).alias("y2"),
+    )
+    p = _read(spark, sf_dir, "part")
+    b = p.select(
+        F.col("p_partkey").alias("id"),
+        (F.pmod(F.col("p_partkey") * 1540483477, F.lit(300000000)) / 1000000.0 - 150.0).alias("_cx"),
+        (F.pmod(F.col("p_partkey") * 2654435761, F.lit(120000000)) / 1000000.0 - 60.0).alias("_cy"),
+        (F.pmod(F.col("p_partkey"), F.lit(25)) / 10.0 + 0.4).alias("_hl"),
+        (F.pmod(F.col("p_partkey"), F.lit(18)) / 10.0 + 0.4).alias("_hh"),
+    ).select(
+        "id",
+        (F.col("_cx") - F.col("_hl")).alias("x1"),
+        (F.col("_cx") + F.col("_hl")).alias("x2"),
+        (F.col("_cy") - F.col("_hh")).alias("y1"),
+        (F.col("_cy") + F.col("_hh")).alias("y2"),
+    )
+    j = rect_overlap_join(a, b, z=6)
+    return j.select(
+        F.col("a_id").alias("rect_a"), F.col("b_id").alias("rect_b"), "ov_area"
+    ).orderBy("rect_a", "rect_b")
+
+
+def q_simplify_lines(spark, sf_dir):
+    """Douglas-Peucker polyline simplification (geom/simplify.py,
+    Arrow-batched, tolerance 1.0): 211 synthetic 16-vertex polylines
+    derived from orders, simplified and re-exploded to (line_id, seq,
+    x, y). The DuckDB oracle re-runs the ENTIRE DP recursion as a
+    recursive CTE (segment split at the farthest-point argmax, first
+    index wins ties, strict > eps^2), so the exact kept-vertex set is
+    hash-compared — pure +-*/ arithmetic, bit-identical on both
+    engines."""
+    from osmzen_spark.geom.simplify import simplify_layer
+
+    o = _read(spark, sf_dir, "orders")
+    lids = o.select(F.pmod(F.col("o_orderkey"), F.lit(211)).alias("lid")).distinct()
+    v = lids.select("lid", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("t"))
+    v = v.select(
+        "lid",
+        "t",
+        F.col("t").cast("double").alias("x"),
+        (F.pmod(F.col("lid") * 31 + F.col("t") * F.col("t") * 7919, F.lit(1000)) / 100.0).alias("y"),
+    )
+    lines = (
+        v.groupBy("lid")
+        .agg(F.sort_array(F.collect_list(F.struct("t", "x", "y"))).alias("pts"))
+        .select(
+            "lid",
+            F.lit("LineString").alias("geom_type"),
+            F.struct(
+                F.col("pts.x").alias("xs"),
+                F.col("pts.y").alias("ys"),
+                F.array(F.lit(16)).alias("ring_lens"),
+                F.array(F.lit(0)).alias("ring_roles"),
+            ).alias("geometry"),
+        )
+    )
+    simp = simplify_layer(lines, tolerance=1.0)
+    out = simp.select(
+        F.col("lid").alias("line_id"),
+        F.posexplode(F.arrays_zip(F.col("geometry.xs").alias("x"), F.col("geometry.ys").alias("y"))),
+    )
+    return out.select(
+        "line_id",
+        F.col("pos").cast("int").alias("seq"),
+        F.col("col.x").alias("x"),
+        F.col("col.y").alias("y"),
+    ).orderBy("line_id", "seq")
+
+
+def q_image_channel_stats(spark, sf_dir):
+    """Image curation statistics, integer-exact: decode (raw + stdlib
+    PNG) -> per-channel pixel sums + 4-bin red-channel histogram in one
+    Arrow-batched mapInPandas pass (batch-wide reduceat/bincount, no
+    per-image Python loop). The DuckDB oracle re-derives every decoded
+    pixel from the arithmetic pattern, so codec, batching, and binning
+    bugs all break the hash."""
+    from osmzen_spark.datagen import synthetic_images
+    from osmzen_spark.payload.images import with_channel_stats
+
+    imgs = synthetic_images(spark, sf_dir)
+    return with_channel_stats(imgs).orderBy("image_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full normalize+tile over synthetic elements (buildings/
     pois/landuse polygons + road/path network with relation memberships)
@@ -750,6 +892,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "video_frame_sample": q_video_frame_sample,
         "asof_join": q_asof_join,
+        "radius_join": q_radius_join,
+        "tile_pyramid": q_tile_pyramid,
+        "rect_overlap": q_rect_overlap,
+        "image_channel_stats": q_image_channel_stats,
+        "simplify_lines": q_simplify_lines,
     }
 
 
@@ -1456,5 +1603,143 @@ def oracle_sql() -> dict[str, str]:
         WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
                                      CAST(eb.embedding AS DOUBLE[])) >= 0.40
         ORDER BY id_a, id_b
+    """
+    d["radius_join"] = f"""
+        WITH pts AS ({pts}),
+        st AS (
+          SELECT n_nationkey AS id,
+                 (n_nationkey * 2654435761) % 320000000 / 1000000.0 - 160.0 AS lon,
+                 (n_nationkey * 2246822519) % 120000000 / 1000000.0 - 60.0  AS lat
+          FROM nation
+        )
+        SELECT st.id AS station_id, COUNT(*) AS n_within,
+               CAST(SUM(pts.id) AS BIGINT) AS sum_ids
+        FROM st CROSS JOIN pts
+        WHERE 2.0 * 6371000.0 * ASIN(LEAST(1.0, SQRT(
+                POW(SIN((RADIANS(pts.lat) - RADIANS(st.lat)) / 2), 2)
+                + COS(RADIANS(st.lat)) * COS(RADIANS(pts.lat))
+                  * POW(SIN((RADIANS(pts.lon) - RADIANS(st.lon)) / 2), 2)
+              ))) <= 300000.0
+        GROUP BY st.id ORDER BY station_id
+    """
+    d["tile_pyramid"] = f"""
+        WITH pts AS ({pts}),
+        z8 AS (
+          SELECT {tile_x.format(n=256)} AS tile_x, {tile_y.format(n=256)} AS tile_y,
+                 COUNT(*) AS n_points, CAST(SUM(id) AS BIGINT) AS sum_value
+          FROM pts GROUP BY 1, 2
+        )
+        SELECT CAST(8 AS INT) AS z, tile_x, tile_y, n_points, sum_value FROM z8
+        UNION ALL
+        SELECT CAST(6 AS INT), tile_x // 4, tile_y // 4,
+               CAST(SUM(n_points) AS BIGINT), CAST(SUM(sum_value) AS BIGINT)
+        FROM z8 GROUP BY tile_x // 4, tile_y // 4
+        UNION ALL
+        SELECT CAST(4 AS INT), tile_x // 16, tile_y // 16,
+               CAST(SUM(n_points) AS BIGINT), CAST(SUM(sum_value) AS BIGINT)
+        FROM z8 GROUP BY tile_x // 16, tile_y // 16
+        UNION ALL
+        SELECT CAST(2 AS INT), tile_x // 64, tile_y // 64,
+               CAST(SUM(n_points) AS BIGINT), CAST(SUM(sum_value) AS BIGINT)
+        FROM z8 GROUP BY tile_x // 64, tile_y // 64
+        ORDER BY z, tile_x, tile_y
+    """
+    d["rect_overlap"] = """
+        WITH a AS (
+          SELECT s_suppkey AS id,
+                 (s_suppkey * 2654435761) % 300000000 / 1000000.0 - 150.0 AS cx,
+                 (s_suppkey * 2246822519) % 120000000 / 1000000.0 - 60.0  AS cy,
+                 (s_suppkey % 20) / 10.0 + 0.5 AS hl,
+                 (s_suppkey % 15) / 10.0 + 0.5 AS hh
+          FROM supplier
+        ), b AS (
+          SELECT p_partkey AS id,
+                 (p_partkey * 1540483477) % 300000000 / 1000000.0 - 150.0 AS cx,
+                 (p_partkey * 2654435761) % 120000000 / 1000000.0 - 60.0  AS cy,
+                 (p_partkey % 25) / 10.0 + 0.4 AS hl,
+                 (p_partkey % 18) / 10.0 + 0.4 AS hh
+          FROM part
+        )
+        SELECT a.id AS rect_a, b.id AS rect_b,
+               (LEAST(a.cx + a.hl, b.cx + b.hl) - GREATEST(a.cx - a.hl, b.cx - b.hl))
+             * (LEAST(a.cy + a.hh, b.cy + b.hh) - GREATEST(a.cy - a.hh, b.cy - b.hh)) AS ov_area
+        FROM a CROSS JOIN b
+        WHERE GREATEST(a.cx - a.hl, b.cx - b.hl) < LEAST(a.cx + a.hl, b.cx + b.hl)
+          AND GREATEST(a.cy - a.hh, b.cy - b.hh) < LEAST(a.cy + a.hh, b.cy + b.hh)
+        ORDER BY rect_a, rect_b
+    """
+    d["image_channel_stats"] = """
+        WITH ks AS (
+          SELECT DISTINCT l_orderkey * 8 + l_linenumber AS k,
+                 ((l_orderkey * 8 + l_linenumber) * 2654435761) % 2147483648 AS seed
+          FROM lineitem
+        ), px AS (
+          SELECT k, x, y, c, (seed + 7*x + 13*y + 29*c) % 256 AS v
+          FROM ks,
+               generate_series(0, 7) tx(x),
+               generate_series(0, 7) ty(y),
+               generate_series(0, 2) tc(c)
+        )
+        SELECT 'img-' || k AS image_id,
+               CAST(SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+               CAST(SUM(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+               CAST(SUM(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+               COUNT(CASE WHEN c = 0 AND v // 64 = 0 THEN 1 END) AS hist_r0,
+               COUNT(CASE WHEN c = 0 AND v // 64 = 1 THEN 1 END) AS hist_r1,
+               COUNT(CASE WHEN c = 0 AND v // 64 = 2 THEN 1 END) AS hist_r2,
+               COUNT(CASE WHEN c = 0 AND v // 64 = 3 THEN 1 END) AS hist_r3
+        FROM px GROUP BY k ORDER BY image_id
+    """
+    # Douglas-Peucker re-derived as a recursive CTE: each segment (i,j)
+    # splits at the farthest interior vertex (segment distance with
+    # clamped projection — the exact numpy kernel in geom/simplify.py),
+    # first index wins ties, strict > eps^2; the kept set is the union
+    # of all segment endpoints ever produced.
+    _dp_d2 = (
+        "CASE WHEN ((pj.x-pi.x)*(pj.x-pi.x)+(pj.y-pi.y)*(pj.y-pi.y)) = 0"
+        " THEN (p.x-pi.x)*(p.x-pi.x)+(p.y-pi.y)*(p.y-pi.y)"
+        " ELSE POW(p.x - (pi.x + LEAST(1.0,GREATEST(0.0,((p.x-pi.x)*(pj.x-pi.x)+(p.y-pi.y)*(pj.y-pi.y))"
+        "/((pj.x-pi.x)*(pj.x-pi.x)+(pj.y-pi.y)*(pj.y-pi.y))))*(pj.x-pi.x)), 2)"
+        " + POW(p.y - (pi.y + LEAST(1.0,GREATEST(0.0,((p.x-pi.x)*(pj.x-pi.x)+(p.y-pi.y)*(pj.y-pi.y))"
+        "/((pj.x-pi.x)*(pj.x-pi.x)+(pj.y-pi.y)*(pj.y-pi.y))))*(pj.y-pi.y)), 2) END"
+    )
+    d["simplify_lines"] = f"""
+        WITH RECURSIVE pts AS (
+          SELECT lid, t AS idx, CAST(t AS DOUBLE) AS x,
+                 ((lid * 31 + t * t * 7919) % 1000) / 100.0 AS y
+          FROM (SELECT DISTINCT o_orderkey % 211 AS lid FROM orders) l,
+               generate_series(0, 15) s(t)
+        ),
+        segs(lid, i, j) AS (
+          SELECT lid, 0, 15 FROM (SELECT DISTINCT lid FROM pts)
+          UNION ALL
+          SELECT s.lid,
+                 CASE WHEN b.side = 0 THEN s.i ELSE s.k END,
+                 CASE WHEN b.side = 0 THEN s.k ELSE s.j END
+          FROM (
+            SELECT lid, i, j, k FROM (
+              SELECT sg.lid, sg.i, sg.j, p.idx AS k,
+                     ROW_NUMBER() OVER (PARTITION BY sg.lid, sg.i, sg.j
+                                        ORDER BY {_dp_d2} DESC, p.idx ASC) AS rn,
+                     {_dp_d2} AS dmax
+              FROM segs sg
+              JOIN pts pi ON pi.lid = sg.lid AND pi.idx = sg.i
+              JOIN pts pj ON pj.lid = sg.lid AND pj.idx = sg.j
+              JOIN pts p  ON p.lid = sg.lid AND p.idx > sg.i AND p.idx < sg.j
+              WHERE sg.j > sg.i + 1
+            ) WHERE rn = 1 AND dmax > 1.0 * 1.0
+          ) s, (VALUES (0), (1)) b(side)
+        ),
+        kept AS (
+          SELECT DISTINCT lid, idx FROM (
+            SELECT lid, i AS idx FROM segs
+            UNION ALL SELECT lid, j AS idx FROM segs
+          )
+        )
+        SELECT k.lid AS line_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY k.lid ORDER BY k.idx) - 1 AS INT) AS seq,
+               p.x, p.y
+        FROM kept k JOIN pts p ON p.lid = k.lid AND p.idx = k.idx
+        ORDER BY line_id, seq
     """
     return d

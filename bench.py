@@ -120,6 +120,11 @@ def run_operator_bench(spark, sf_dir):
         "embedding_near_dup",
         "sessionize",
         "asof_join",
+        "radius_join",
+        "tile_pyramid",
+        "rect_overlap",
+        "simplify_lines",
+        "image_channel_stats",
         "image_features",
         "audio_features",
         "video_frame_sample",
