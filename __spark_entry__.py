@@ -775,6 +775,73 @@ def q_rect_overlap(spark, sf_dir):
     ).orderBy("rect_a", "rect_b")
 
 
+def q_snap_to_road(spark, sf_dir):
+    """Snap-to-nearest-segment join (tiling/snap.py, the map-matching
+    primitive): every customer point within 1 degree of a synthetic
+    road segment snaps to its nearest segment — cover-cell equi-join +
+    exact point-to-segment distance + argmin window, no cross join.
+    The DuckDB oracle is the exact brute force (identical clamped-
+    projection arithmetic, ties on seg_id)."""
+    from osmzen_spark.tiling.snap import snap_to_segments
+
+    pts = _customer_points(spark, sf_dir)
+    s = _read(spark, sf_dir, "supplier")
+    cx = F.pmod(F.col("s_suppkey") * 2654435761, F.lit(300000000)) / 1000000.0 - 150.0
+    cy = F.pmod(F.col("s_suppkey") * 2246822519, F.lit(120000000)) / 1000000.0 - 60.0
+    segs = s.select(
+        F.col("s_suppkey").alias("seg_id"),
+        cx.alias("x0"),
+        cy.alias("y0"),
+        (cx + (F.pmod(F.col("s_suppkey"), F.lit(13)) / 6.0 - 1.0)).alias("x1"),
+        (cy + (F.pmod(F.col("s_suppkey"), F.lit(11)) / 5.0 - 1.0)).alias("y1"),
+    )
+    res = snap_to_segments(pts, segs, max_dist=1.0, z=6, ring=1)
+    return res.select(
+        F.col("p_id").alias("point_id"), F.col("s_seg_id").alias("seg_id"), "d2"
+    ).orderBy("point_id")
+
+
+def q_phash_near_dup(spark, sf_dir):
+    """Perceptual-hash near-duplicate image pairs
+    (payload/images.py:phash_dedup_pairs): ~1 in 13 images gets a twin
+    with ONE hash bit flipped, then banded 16-bit bucket keys turn
+    all-pairs hamming search into an int64 equi-join (pigeonhole: any
+    pair within hamming 3 shares a band; candidates verified exactly).
+    The per-image 63-bit hash is synthesized arithmetically (two
+    multiplicative 32/31-bit halves) rather than taken from the
+    decoded pixels: the arithmetic test pattern's true luma average-
+    hash collapses to 94 distinct values over 45k images (measured —
+    the luma-vs-mean comparison cancels the seed), which would make
+    every bucket a hamming-0 megagroup; the pixel->hash path itself is
+    oracle-verified by image_features. The DuckDB oracle replays hash
+    synthesis, twin flips, banding, join, and exact hamming."""
+    from osmzen_spark.payload.images import phash_dedup_pairs
+
+    li = _lineitem(spark, sf_dir)
+    k = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long")
+    ks = li.select(k.alias("k")).distinct()
+    ph = (
+        F.pmod(F.col("k") * 2246822519, F.lit(2147483648)) * F.lit(4294967296)
+        + F.pmod(F.col("k") * 2654435761, F.lit(4294967296))
+    ).alias("phash")
+    hashed = ks.select("k", ph)
+    imgs = hashed.select(
+        F.concat(F.lit("img-"), F.col("k").cast("string")).alias("image_id"), "phash"
+    )
+    flip = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(shiftright(k, 4), 8) AS INT))")
+    twins = hashed.filter(F.pmod(F.col("k"), F.lit(13)) == 0).select(
+        F.concat(F.lit("twin-"), F.col("k").cast("string")).alias("image_id"),
+        F.col("phash").bitwiseXOR(flip).alias("phash"),
+    )
+    both = imgs.unionByName(twins)
+    pairs = phash_dedup_pairs(both, bands=4)
+    return (
+        pairs.filter(F.col("hamming") <= 8)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q_simplify_lines(spark, sf_dir):
     """Douglas-Peucker polyline simplification (geom/simplify.py,
     Arrow-batched, tolerance 1.0): 211 synthetic 16-vertex polylines
@@ -897,6 +964,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rect_overlap": q_rect_overlap,
         "image_channel_stats": q_image_channel_stats,
         "simplify_lines": q_simplify_lines,
+        "phash_near_dup": q_phash_near_dup,
+        "snap_to_road": q_snap_to_road,
     }
 
 
@@ -1741,5 +1810,73 @@ def oracle_sql() -> dict[str, str]:
                p.x, p.y
         FROM kept k JOIN pts p ON p.lid = k.lid AND p.idx = k.idx
         ORDER BY line_id, seq
+    """
+    # pHash near-dup: DuckDB's arithmetic >> plus & 65535 equals
+    # Spark's shiftrightunsigned for the 16-bit band extraction (any
+    # sign bits land above the mask; the synthesized hash is 63-bit
+    # positive anyway).
+    d["phash_near_dup"] = """
+        WITH ks AS (
+          SELECT DISTINCT l_orderkey * 8 + l_linenumber AS k
+          FROM lineitem
+        ), ph AS (
+          SELECT k,
+                 ((k * 2246822519) % 2147483648) * 4294967296
+                   + ((k * 2654435761) % 4294967296) AS phash
+          FROM ks
+        ), allimgs AS (
+          SELECT 'img-' || k AS id, phash FROM ph
+          UNION ALL
+          SELECT 'twin-' || k AS id,
+                 xor(phash, 1 << CAST((k >> 4) % 8 AS INT)) AS phash
+          FROM ph WHERE k % 13 = 0
+        ), banded AS (
+          SELECT id, phash, b * 4294967296 + ((phash >> (b*16)) & 65535) AS bk
+          FROM allimgs, (VALUES (0), (1), (2), (3)) t(b)
+        ), cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.phash AS pa, b.phash AS pb
+          FROM banded a JOIN banded b USING (bk)
+          WHERE a.id < b.id
+        )
+        SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(pa, pb)) <= 8
+        ORDER BY id_a, id_b
+    """
+    # snap-to-road: exact brute force with the identical clamped-
+    # projection distance arithmetic (t, then foot-of-perpendicular,
+    # then squared distance — same op order as tiling/snap.py Columns)
+    _seg_t = (
+        "CASE WHEN ((s.x1-s.x0)*(s.x1-s.x0)+(s.y1-s.y0)*(s.y1-s.y0)) = 0 THEN 0.0"
+        " ELSE LEAST(1.0, GREATEST(0.0,"
+        " ((p.lon-s.x0)*(s.x1-s.x0)+(p.lat-s.y0)*(s.y1-s.y0))"
+        " / ((s.x1-s.x0)*(s.x1-s.x0)+(s.y1-s.y0)*(s.y1-s.y0)))) END"
+    )
+    d["snap_to_road"] = f"""
+        WITH p AS ({pts}),
+        s AS (
+          SELECT s_suppkey AS seg_id,
+                 (s_suppkey * 2654435761) % 300000000 / 1000000.0 - 150.0 AS x0,
+                 (s_suppkey * 2246822519) % 120000000 / 1000000.0 - 60.0  AS y0,
+                 (s_suppkey * 2654435761) % 300000000 / 1000000.0 - 150.0
+                   + ((s_suppkey % 13) / 6.0 - 1.0) AS x1,
+                 (s_suppkey * 2246822519) % 120000000 / 1000000.0 - 60.0
+                   + ((s_suppkey % 11) / 5.0 - 1.0) AS y1
+          FROM supplier
+        ), dists AS (
+          SELECT p.id AS point_id, s.seg_id,
+                 (p.lon - (s.x0 + ({_seg_t}) * (s.x1-s.x0)))
+                   * (p.lon - (s.x0 + ({_seg_t}) * (s.x1-s.x0)))
+                 + (p.lat - (s.y0 + ({_seg_t}) * (s.y1-s.y0)))
+                   * (p.lat - (s.y0 + ({_seg_t}) * (s.y1-s.y0))) AS d2
+          FROM p CROSS JOIN s
+        )
+        SELECT point_id, seg_id, d2 FROM (
+          SELECT point_id, seg_id, d2,
+                 ROW_NUMBER() OVER (PARTITION BY point_id
+                                    ORDER BY d2 ASC, seg_id ASC) AS rn
+          FROM dists WHERE d2 <= 1.0
+        ) WHERE rn = 1
+        ORDER BY point_id
     """
     return d

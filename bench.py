@@ -124,6 +124,8 @@ def run_operator_bench(spark, sf_dir):
         "tile_pyramid",
         "rect_overlap",
         "simplify_lines",
+        "snap_to_road",
+        "phash_near_dup",
         "image_channel_stats",
         "image_features",
         "audio_features",

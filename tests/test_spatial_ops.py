@@ -146,6 +146,49 @@ def test_rect_overlap_no_distinct_in_plan(spark):
     assert "HashAggregate" not in plan, plan
 
 
+def test_snap_to_segments_matches_bruteforce(spark):
+    from osmzen_spark.tiling.snap import point_segment_d2, snap_to_segments
+
+    pts = _points(spark, 300).filter(F.abs(F.col("lat")) < 60)
+    segs = spark.range(1, 80).select(
+        F.col("id").alias("seg_id"),
+        (F.pmod(F.col("id") * 2654435761, F.lit(300000000)) / 1000000.0 - 150.0).alias("x0"),
+        (F.pmod(F.col("id") * 2246822519, F.lit(100000000)) / 1000000.0 - 50.0).alias("y0"),
+    )
+    segs = segs.select(
+        "seg_id",
+        "x0",
+        "y0",
+        (F.col("x0") + F.pmod(F.col("seg_id"), F.lit(13)) / 6.0 - 1.0).alias("x1"),
+        (F.col("y0") + F.pmod(F.col("seg_id"), F.lit(11)) / 5.0 - 1.0).alias("y1"),
+    )
+    got = {
+        r.p_id: (r.s_seg_id, r.d2)
+        for r in snap_to_segments(pts, segs, max_dist=1.0, z=6, ring=1).collect()
+    }
+
+    truth_rows = (
+        pts.crossJoin(segs)
+        .withColumn(
+            "d2",
+            point_segment_d2(
+                F.col("lon"), F.col("lat"), F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1")
+            ),
+        )
+        .filter(F.col("d2") <= 1.0)
+        .collect()
+    )
+    # min by (d2, seg_id) per point
+    truth = {}
+    for r in truth_rows:
+        key = (r.d2, r.seg_id)
+        if r.id not in truth or key < truth[r.id]:
+            truth[r.id] = key
+    truth = {pid: (sid, d2) for pid, (d2, sid) in truth.items()}
+    assert truth, "degenerate test: no snappable points"
+    assert got == truth
+
+
 def test_channel_stats_matches_numpy(spark):
     from osmzen_spark.payload.images import encode_png, with_channel_stats
 
