@@ -4,6 +4,8 @@ from osmzen_spark.streaming.events import (
     sessionize_batch,
     sessionize_stream,
     stream_events_hourly,
+    stream_tile_counts,
+    tile_counts_batch,
 )
 
 __all__ = [
@@ -12,4 +14,6 @@ __all__ = [
     "sessionize_batch",
     "sessionize_stream",
     "stream_events_hourly",
+    "stream_tile_counts",
+    "tile_counts_batch",
 ]

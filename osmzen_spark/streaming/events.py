@@ -270,3 +270,70 @@ def sessionize_stream(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+# ---------------------------------------------------------------- geospatial
+
+def _event_points(df: DataFrame) -> DataFrame:
+    """Deterministic per-user lon/lat (the customer-points arithmetic),
+    standing in for the device-location column of a real event feed."""
+    return df.withColumn(
+        "lon", F.pmod(F.col("user_id") * 2654435761, F.lit(360000000)) / 1000000.0 - 180.0
+    ).withColumn(
+        "lat", F.pmod(F.col("user_id") * 2246822519, F.lit(150000000)) / 1000000.0 - 75.0
+    )
+
+
+def tile_counts_batch(events: DataFrame, z: int = 6) -> DataFrame:
+    """Batch twin of stream_tile_counts: per (hour, tile) event counts."""
+    from osmzen_spark.tiling.cells import tile_x_col, tile_y_col
+
+    pts = _event_points(events)
+    return pts.groupBy(
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        tile_x_col(F.col("lon"), z).alias("tile_x"),
+        tile_y_col(F.col("lat"), z).alias("tile_y"),
+    ).agg(F.count("*").alias("n_events"))
+
+
+def stream_tile_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    z: int = 6,
+    watermark: str = "1 hour",
+    query_name: str = "tile_counts",
+) -> DataFrame:
+    """Streaming geospatial ingestion: event stream -> per-event tile
+    assignment (pure Column Web-Mercator math, no UDF) -> event-time
+    tumbling-hour counts per (window, tile_x, tile_y). This is the
+    live-map/heatmap rollup shape: the shuffle key is (window, tile),
+    map-side partial aggregation compacts dense metro tiles, and the
+    watermark bounds the state store to the open windows. Drained with
+    availableNow it must equal tile_counts_batch exactly
+    (tests/test_streaming.py)."""
+    from osmzen_spark.tiling.cells import tile_x_col, tile_y_col
+
+    events = _event_points(read_events_stream(spark, sf_dir)).withWatermark("ts", watermark)
+    agg = (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("win"),
+            tile_x_col(F.col("lon"), z).alias("tile_x"),
+            tile_y_col(F.col("lat"), z).alias("tile_y"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "tile_x",
+            "tile_y",
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -85,3 +85,18 @@ def test_sessionize_batch_session_count(spark, events):
     assert total == events.count()
     bad = s.filter(F.col("session_end_us") < F.col("session_start_us")).count()
     assert bad == 0
+
+
+def test_stream_tile_counts_equals_batch(spark, events):
+    """Streaming geospatial rollup: the drained (hour, tile) counts
+    must equal the batch twin row-for-row."""
+    from osmzen_spark.streaming import stream_tile_counts, tile_counts_batch
+
+    got = stream_tile_counts(spark, SF_DIR, z=6, query_name="t_tiles").collect()
+    want = tile_counts_batch(events, z=6).collect()
+    key = lambda r: (r["hour"], r["tile_x"], r["tile_y"])  # noqa: E731
+    got_map = {key(r): r["n_events"] for r in got}
+    want_map = {key(r): r["n_events"] for r in want}
+    assert len(got) == len(got_map), "duplicate (hour, tile) rows"
+    assert got_map == want_map
+    assert len(want_map) > 50, "degenerate: tiles not spread"
