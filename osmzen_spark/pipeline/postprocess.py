@@ -927,6 +927,38 @@ def _add_collision_rank(layers, zoom, params):
     return add_collision_rank(layers, zoom, params)
 
 
+def keep_n_features(layers, zoom, params):
+    """Per-tile feature cap — an ENGINE ADDITION: the reference
+    registers keep_n_features as a nil no-op (SURVEY §2.G; the Go port
+    compiles it away), but a tile server at scale needs the cap, so
+    this implements it for real. Keeps the ``n`` most important
+    features per zoom-``tile_zoom`` tile of ``source_layer``, ranked
+    by (min_zoom asc, sort_rank asc, collision_rank asc, id) — lower
+    min_zoom = more important, ties broken deterministically. One
+    window over the tile cell, i.e. one shuffle on the engine's
+    natural partition key; at 10^9 features per layer this is the
+    standard top-N-per-group plan (rank inside each tile partition,
+    no global sort)."""
+    from osmzen_spark.tiling.cells import tile_x_col, tile_y_col
+
+    name = params["source_layer"]
+    n = int(params["n"])
+    tz = int(params.get("tile_zoom", 10))
+    df = layers.get(name)
+    if df is None:
+        return layers
+    order = [
+        F.col(c).asc_nulls_last()
+        for c in ("min_zoom", "sort_rank", "collision_rank")
+        if c in df.columns
+    ] + [F.col("id").asc()]
+    w = Window.partitionBy(
+        tile_x_col(F.col("clon"), tz), tile_y_col(F.col("clat"), tz)
+    ).orderBy(*order)
+    out = df.withColumn("_kn", F.row_number().over(w)).filter(F.col("_kn") <= n).drop("_kn")
+    return {**layers, name: out}
+
+
 POSTPROCESSORS = {
     "road_networks": road_networks,
     "add_collision_rank": _add_collision_rank,
@@ -942,4 +974,6 @@ POSTPROCESSORS = {
     "numeric_min_filter": numeric_min_filter,
     "remap": remap,
     "drop_names": drop_names,
+    # engine addition (nil no-op in the reference) — opt-in via config
+    "keep_n_features": keep_n_features,
 }
