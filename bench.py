@@ -102,6 +102,7 @@ def run_operator_bench(spark, sf_dir):
     import __spark_entry__ as entrymod
 
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     qs = entrymod.queries()
     for name in (
         "pricing_summary",
@@ -135,7 +136,16 @@ def run_operator_bench(spark, sf_dir):
         t0 = time.time()
         _noop(qs[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
-    return timings
+        # warm re-run: steady-state per-op cost with plans/JIT hot —
+        # the deployment-shaped number, and resistant to the sandbox
+        # host's bursty hypervisor-steal stalls (BASELINE.md round-3
+        # addendum: single cold runs randomly inflate 5-10x). Kept as
+        # a SEPARATE series; `timings` stays the round-comparable
+        # cold-run protocol.
+        t0 = time.time()
+        _noop(qs[name](spark, sf_dir))
+        warm[name] = round(time.time() - t0, 3)
+    return timings, warm
 
 
 def main():
@@ -214,7 +224,8 @@ def main():
         spark = get_spark(
             app_name="bench-ops", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 8)
         )
-        print(json.dumps(run_operator_bench(spark, SF_DIR)))
+        ops, warm = run_operator_bench(spark, SF_DIR)
+        print(json.dumps({"ops": ops, "warm": warm}))
         return
 
     # the operator loop runs in a CHILD process: the flagship's JVM
@@ -234,7 +245,8 @@ def main():
         text=True,
         check=True,
     )
-    timings.update(json.loads(child.stdout.strip().splitlines()[-1]))
+    child_out = json.loads(child.stdout.strip().splitlines()[-1])
+    timings.update(child_out["ops"])
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -243,6 +255,7 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": child_out["warm"],
                 "sf": _sf_label(SF_DIR),
                 "n_features_normalized": n_features,
                 "features_per_sec": round(n_features / flagship_sec, 1),
