@@ -564,6 +564,51 @@ def q_assemble_buildings(spark, sf_dir):
     ).orderBy("id")
 
 
+def q_payload_normalize_tile(spark, sf_dir):
+    """The target metric's literal shape (BASELINE.json): an OSM-tagged
+    image+caption table, normalized and tile-assigned, with the payload
+    riding through intact. Elements carry the OSM tags; the payload
+    table (input_hint columns) joins on element_id — at 100 TB this is
+    the canonical big<->big equi-join, one shuffle per side on the same
+    long key (co-partitionable / bucketable) — and caption + phash
+    reach the output byte-identical. The DuckDB oracle composes the
+    full normalize_buildings rule-chain re-derivation (datagen
+    arithmetic -> Mercator shoelace -> 556-rule tier chain ->
+    scale_rank/clamp -> centroid -> z10 tile) with the arithmetic
+    pixel-pattern luma-ahash re-derivation, so a rule bug, a tile bug,
+    a join bug, a caption mutation, or one flipped hash bit all break
+    the value hash. phash is emitted as two unsigned 32-bit halves to
+    avoid int64 sign-wrap in SQL (cf. image_features)."""
+    from osmzen_spark.datagen import synthetic_elements, synthetic_images
+    from osmzen_spark.pipeline.normalize import NormalizeEngine
+
+    imgs = synthetic_images(spark, sf_dir).select(
+        "image_id",
+        "element_id",
+        "caption",
+        F.expr("phash & 4294967295").alias("phash_lo"),
+        F.expr("shiftrightunsigned(phash, 32)").alias("phash_hi"),
+    )
+    elements = synthetic_elements(spark, sf_dir)
+    engine = NormalizeEngine()
+    layers = engine.process(elements, zoom=20, tile_zoom=10, layer_names=["buildings", "pois"])
+    b = layers["buildings"]
+    return (
+        b.join(imgs, b["id"] == imgs["element_id"])
+        .select(
+            "image_id",
+            "caption",
+            "phash_lo",
+            "phash_hi",
+            "kind",
+            "min_zoom",
+            "tile_x",
+            "tile_y",
+        )
+        .orderBy("image_id", "kind")
+    )
+
+
 def q_image_features(spark, sf_dir):
     """Multimodal payload path, driver-verified end-to-end: synthetic
     8x8 images (closed-form arithmetic pixels; even keys PNG-encoded
@@ -952,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gate_min_zoom": q_gate_min_zoom,
         "normalize_buildings": q_normalize_buildings,
         "assemble_buildings": q_assemble_buildings,
+        "payload_normalize_tile": q_payload_normalize_tile,
         "image_features": q_image_features,
         "sessionize": q_sessionize,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1397,6 +1443,45 @@ def oracle_sql() -> dict[str, str]:
     # node/way tables, so the full normalize_buildings re-derivation IS
     # its oracle too
     d["assemble_buildings"] = d["normalize_buildings"]
+    # payload ride-through: the nb CTE is the complete rule-chain
+    # re-derivation above; bits re-derives the 64-bit luma ahash from
+    # the arithmetic pixel pattern (identical CTEs to image_features);
+    # captions are re-synthesized from the key, so only a byte-exact
+    # pass-through matches
+    d["payload_normalize_tile"] = f"""
+        WITH nb AS ({d["normalize_buildings"]}),
+        ks AS (
+          SELECT DISTINCT l_orderkey * 8 + l_linenumber AS k,
+                 ((l_orderkey * 8 + l_linenumber) * 2654435761) % 2147483648 AS seed
+          FROM lineitem
+        ), px AS (
+          SELECT k, x, y, c, (seed + 7*x + 13*y + 29*c) % 256 AS v
+          FROM ks,
+               generate_series(0, 7) tx(x),
+               generate_series(0, 7) ty(y),
+               generate_series(0, 2) tc(c)
+        ), luma AS (
+          SELECT k, x, y,
+                 SUM(CASE c WHEN 0 THEN 299*v WHEN 1 THEN 587*v ELSE 114*v END) AS l
+          FROM px GROUP BY k, x, y
+        ), tot AS (
+          SELECT k, SUM(l) AS total FROM luma GROUP BY k
+        ), bits AS (
+          SELECT luma.k,
+                 CAST(SUM(CASE WHEN 64*l > total AND (y*8+x) < 32
+                          THEN (CAST(1 AS BIGINT) << (y*8+x)) ELSE 0 END) AS BIGINT) AS ahash_lo,
+                 CAST(SUM(CASE WHEN 64*l > total AND (y*8+x) >= 32
+                          THEN (CAST(1 AS BIGINT) << (y*8+x-32)) ELSE 0 END) AS BIGINT) AS ahash_hi
+          FROM luma JOIN tot USING (k) GROUP BY luma.k
+        )
+        SELECT 'img-' || nb.id AS image_id,
+               'caption for element ' || nb.id AS caption,
+               bits.ahash_lo AS phash_lo,
+               bits.ahash_hi AS phash_hi,
+               nb.kind, nb.min_zoom, nb.tile_x, nb.tile_y
+        FROM nb JOIN bits ON bits.k = nb.id
+        ORDER BY image_id, kind
+    """
     # IVF ANN: DuckDB re-derives the ENTIRE index from the embedded
     # centroid codebook (the same deterministic float64 values the
     # Spark job uses, repr'd so the decimal literals round-trip

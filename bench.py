@@ -132,6 +132,7 @@ def run_operator_bench(spark, sf_dir):
         "audio_features",
         "video_frame_sample",
         "assemble_buildings",
+        "payload_normalize_tile",
     ):
         t0 = time.time()
         _noop(qs[name](spark, sf_dir))
