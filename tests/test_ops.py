@@ -333,3 +333,22 @@ def test_sessionize_batch_semantics(spark):
         for r in sessionize_batch(df, gap_minutes=30).collect()
     }
     assert out == {(1, 1): (2, 3.0), (1, 2): (1, 4.0), (2, 1): (2, 24.0)}
+
+
+def test_payload_normalize_tile_invariants(spark):
+    """The BASELINE.json metric's literal query: payload joins the
+    normalized/tiled features with a single pair of hash exchanges (no
+    nested-loop/cartesian fallback), captions ride through
+    byte-identical, and phash splits losslessly into unsigned halves."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.q_payload_normalize_tile(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = df.limit(50).collect()
+    assert rows
+    for r in rows:
+        k = int(r["image_id"][4:])
+        assert r["caption"] == f"caption for element {k}"  # byte-identical ride-through
+        assert 0 <= r["phash_lo"] < 2**32 and 0 <= r["phash_hi"] < 2**32
