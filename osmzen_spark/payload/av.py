@@ -40,7 +40,16 @@ def _keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def synthetic_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One 64-sample PCM16-LE mono clip per orders row."""
+    """One 64-sample PCM16-LE mono clip per orders row, materialized
+    once per SF (datagen.payload_cache) and read back as parquet."""
+    from osmzen_spark.datagen import payload_cache
+
+    return payload_cache(
+        spark, sf_dir, "audio", lambda: _synthetic_audio_uncached(spark, sf_dir)
+    )
+
+
+def _synthetic_audio_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_schema = "audio_id string, bytes binary, sample_rate int, n_samples int, fmt string"
 
     def mapper(batches):
@@ -112,8 +121,18 @@ def audio_features(audio: DataFrame) -> DataFrame:
 
 
 def synthetic_video(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One 6-frame 8x8 RGB raw clip per orders row; frames concatenated
-    frame-major (f, y, x, c), same byte layout as images fmt='raw'."""
+    """One 6-frame 8x8 RGB raw clip per orders row, materialized once
+    per SF (datagen.payload_cache) and read back as parquet; frames
+    concatenated frame-major (f, y, x, c), same byte layout as images
+    fmt='raw'."""
+    from osmzen_spark.datagen import payload_cache
+
+    return payload_cache(
+        spark, sf_dir, "video", lambda: _synthetic_video_uncached(spark, sf_dir)
+    )
+
+
+def _synthetic_video_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_schema = (
         "video_id string, bytes binary, w int, h int, n_frames int, fmt string, caption string"
     )
