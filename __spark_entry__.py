@@ -461,6 +461,32 @@ def q_ivf_ann(spark, sf_dir):
     )
 
 
+def q_pq_ann(spark, sf_dir):
+    """PQ/ADC ANN (the compressed-index scale path next to IVF and
+    LSH): every vector unit-normalized and product-quantized to one
+    packed 8x4-bit code (8 B instead of 256 B — at 10^12 rows the
+    scanned table is ~8 TB, not ~256 TB, and the ADC scan never reads
+    the embedding column), queries precompute (8, 16) dot LUTs, a
+    candidate's score is 8 LUT gathers + adds per query. Sub-centroids
+    are the deterministic hash-derived codebooks so the DuckDB oracle
+    re-derives the identical codes and ADC scores from embedded
+    literals; only integer ranks are emitted (rank flips would need
+    two ADC sums within ~1e-12; equal-code candidates tie EXACTLY on
+    both sides and break on ascending point_id)."""
+    from osmzen_spark.ops.similarity import pq_adc_topk, pq_codebooks, pq_encode_arrow
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(64, 8, 16)
+    codes = pq_encode_arrow(emb, cb)
+    queries = emb.filter(F.pmod(F.col("vec_id"), F.lit(200)) == 0)
+    res = pq_adc_topk(codes, queries, cb, k=3)
+    return res.select(
+        F.col("q_id").alias("query_id"),
+        F.col("p_id").alias("point_id"),
+        F.col("adc_rank").cast("int").alias("adc_rank"),
+    ).orderBy("query_id", "point_id")
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact word-3-gram Jaccard near-dup pairs (explode-shingle
     equi-join, no cross join). True DuckDB oracle: the Jaccard of
@@ -992,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ann_recall": q_ann_recall,
         "ivf_ann": q_ivf_ann,
+        "pq_ann": q_pq_ann,
         "ngram_jaccard": q_ngram_jaccard,
         "route_networks": q_route_networks,
         "gate_min_zoom": q_gate_min_zoom,
@@ -1521,6 +1548,56 @@ def oracle_sql() -> dict[str, str]:
                CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                     ORDER BY cos DESC, point_id ASC) AS INT) AS sim_rank
         FROM dd QUALIFY sim_rank <= 3
+        ORDER BY query_id, point_id
+    """
+    # PQ/ADC ANN: DuckDB re-derives the ENTIRE compressed index from
+    # the embedded sub-centroid codebooks (exact repr float64
+    # literals): unit-normalize, per-subspace max-dot assignment
+    # (ties -> lowest centroid id, same spherical rule the Spark argmax
+    # uses), then ADC scores as the sum of the 8 per-subspace LUT dots
+    # and integer ranks only. Equal-code candidates tie exactly on
+    # both sides; a rank flip between distinct codes would need two
+    # ADC sums within ~1e-12.
+    from osmzen_spark.ops.similarity import pq_codebooks
+
+    _cb = pq_codebooks(64, 8, 16)
+    cb_vals = ",\n              ".join(
+        "({}, {}, [{}])".format(j, c, ", ".join(repr(float(v)) for v in _cb[j][c]))
+        for j in range(8)
+        for c in range(16)
+    )
+    d["pq_ann"] = f"""
+        WITH cb(j, c, cvec) AS (
+          VALUES {cb_vals}
+        ), nrm AS (
+          SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                                                 CAST(embedding AS DOUBLE[])))) AS ne
+          FROM embeddings
+        ), asg AS (
+          SELECT n.vec_id, cb.j, cb.c,
+                 ROW_NUMBER() OVER (PARTITION BY n.vec_id, cb.j
+                    ORDER BY list_inner_product(list_slice(n.ne, cb.j*8+1, cb.j*8+8), cb.cvec) DESC,
+                             cb.c ASC) AS rn
+          FROM nrm n CROSS JOIN cb
+        ), codes AS (
+          SELECT vec_id AS p_id, j, c FROM asg WHERE rn = 1
+        ), lut AS (
+          SELECT n.vec_id AS q_id, cb.j, cb.c,
+                 list_inner_product(list_slice(n.ne, cb.j*8+1, cb.j*8+8), cb.cvec) AS v
+          FROM nrm n CROSS JOIN cb
+          WHERE n.vec_id % 200 = 0
+        ), scored AS (
+          SELECT l.q_id, p.p_id, SUM(l.v) AS s
+          FROM codes p JOIN lut l ON l.j = p.j AND l.c = p.c
+          WHERE p.p_id <> l.q_id
+          GROUP BY l.q_id, p.p_id
+        )
+        SELECT q_id AS query_id, p_id AS point_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY s DESC, p_id ASC) AS INT) AS adc_rank
+        FROM scored QUALIFY adc_rank <= 3
         ORDER BY query_id, point_id
     """
     # LSH ANN recall: DuckDB re-derives the ENTIRE multi-table LSH

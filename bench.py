@@ -117,6 +117,7 @@ def run_operator_bench(spark, sf_dir):
         "cosine_topk",
         "ann_recall",
         "ivf_ann",
+        "pq_ann",
         "ngram_jaccard",
         "embedding_near_dup",
         "sessionize",

@@ -406,6 +406,159 @@ def ivf_ann_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# PQ (product quantization) — the compressed-index scale path.
+#
+# IVF prunes WHICH vectors a query scans; PQ shrinks WHAT is scanned:
+# each unit-normalized vector is split into m subvectors and each
+# subvector replaced by the id of its nearest sub-centroid (max dot,
+# spherical — the same assignment rule the IVF oracle proved exactly
+# SQL-reproducible). A dim-64 float32 vector (256 B) becomes one
+# 8x4-bit code packed in a single long (8 B) — at 10^12 rows the code
+# table is ~8 TB instead of ~256 TB, and the ADC scan never touches
+# the embedding column at all. Scoring is asymmetric distance
+# computation (ADC): the query precomputes a (m, ksub) lookup table of
+# subvector dots, and a candidate's score is m table gathers + adds —
+# no per-candidate float math beyond 8 additions. FAISS-PQ analog,
+# re-expressed as: one mapInArrow encode pass (matmul argmax) -> a
+# stored codes table -> one mapInArrow LUT-gather scan emitting
+# per-batch partial top-k (shuffle O(partitions x |Q| x k), exactly
+# the cosine_topk_bruteforce shape).
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(dim: int, m: int, ksub: int) -> np.ndarray:
+    """Deterministic unit-norm sub-centroid codebooks, (m, ksub, dim/m)
+    float64, from the splitmix64 generator (offset 20_000 keeps them
+    independent of the LSH planes and IVF centroids). Deterministic so
+    the DuckDB oracle re-embeds the exact float64 values as literals;
+    a production codebook would come from per-subspace k-means exactly
+    like ivf_train_kmeans."""
+    dsub = dim // m
+    c = np.array(
+        [[_hyperplane(dsub, 20_000 + j * ksub + i) for i in range(ksub)] for j in range(m)],
+        dtype=np.float64,
+    )
+    return c / np.linalg.norm(c, axis=2, keepdims=True)
+
+
+def pq_encode_arrow(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_id: str = "p_id",
+) -> DataFrame:
+    """(id, code) rows: the vector unit-normalized once, each subvector
+    assigned to its max-dot sub-centroid (ties -> lowest centroid id),
+    all m assignments from one (n, dsub) x (dsub, ksub) matmul per
+    subspace per Arrow batch, packed 4 bits per subspace into one long
+    (requires ksub <= 16, m*4 <= 64)."""
+    m, ksub, dsub = codebooks.shape
+    if ksub > 16 or m * 4 > 64:
+        raise ValueError("packing needs ksub <= 16 and m <= 16")
+    dim = m * dsub
+    schema = T.StructType(
+        [T.StructField(out_id, T.LongType()), T.StructField("code", T.LongType())]
+    )
+
+    def mapper(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(batch.schema.get_field_index(id_col)).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            v = _vec_matrix(batch.column(batch.schema.get_field_index(vec_col)), dim)
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            code = np.zeros(n, dtype=np.int64)
+            for j in range(m):
+                dots = v[:, j * dsub : (j + 1) * dsub] @ codebooks[j].T  # (n, ksub)
+                code |= np.argmax(dots, axis=1).astype(np.int64) << (4 * j)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids), pa.array(code)], names=[out_id, "code"]
+            )
+
+    return df.select(id_col, vec_col).mapInArrow(mapper, schema=schema)
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k over a PQ codes table (p_id, code): the (small,
+    sampled) query side becomes broadcast (m, ksub) LUTs of subvector
+    dots; each codes partition unpacks its 4-bit fields, gathers m LUT
+    entries per (candidate, query) and emits its per-batch partial
+    top-(k+1); a final window rank over the tiny union is global.
+    Output (q_id, p_id, adc_score, adc_rank<=k) with ascending-p_id
+    tiebreak; rank consumers should treat adc_score as approximate
+    (it is <query, PQ-reconstruction>, not the true cosine)."""
+    m, ksub, dsub = codebooks.shape
+    q_ids, q_mat = _collect_query_matrix(queries, id_col, vec_col)
+    qn = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    nq = qn.shape[0]
+    luts = np.empty((nq, m, ksub), dtype=np.float64)
+    for j in range(m):
+        luts[:, j, :] = qn[:, j * dsub : (j + 1) * dsub] @ codebooks[j].T
+    sc = codes.sparkSession.sparkContext
+    bc = sc.broadcast((q_ids, luts))
+    kk = k + 1
+
+    schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField("p_id", T.LongType()),
+            T.StructField("adc_score", T.DoubleType()),
+        ]
+    )
+
+    def mapper(batches):
+        ids_b, lu = bc.value
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            pid = batch.column(batch.schema.get_field_index("p_id")).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            code = batch.column(batch.schema.get_field_index("code")).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            fields = ((code[:, None] >> (4 * np.arange(m))) & 15).astype(np.int64)  # (n, m)
+            scores = np.zeros((n, nq), dtype=np.float64)
+            for j in range(m):  # j-ascending adds: order matches the SQL oracle
+                scores += lu[:, j, fields[:, j]].T
+            take = min(kk, n)
+            if n > take:
+                part = np.argpartition(-scores, take - 1, axis=0)[:take]
+            else:
+                part = np.tile(np.arange(n)[:, None], (1, nq))
+            rows = part.T.ravel()
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(ids_b, take)),
+                    pa.array(pid[rows]),
+                    pa.array(scores[rows, np.repeat(np.arange(nq), take)]),
+                ],
+                names=["q_id", "p_id", "adc_score"],
+            )
+
+    partial = codes.mapInArrow(mapper, schema=schema)
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_score").desc(), F.col("p_id").asc())
+    return (
+        partial.filter(F.col("p_id") != F.col("q_id"))
+        .withColumn("adc_rank", F.row_number().over(w))
+        .filter(F.col("adc_rank") <= k)
+        .select("q_id", "p_id", "adc_score", "adc_rank")
+    )
+
+
 def lsh_bucket_candidates(
     points: DataFrame,
     queries: DataFrame,
