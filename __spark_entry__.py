@@ -487,6 +487,44 @@ def q_pq_ann(spark, sf_dir):
     ).orderBy("query_id", "point_id")
 
 
+def q_skew_tile_join(spark, sf_dir):
+    """Dense-metro-tile skew handled with salted repartitioning
+    (tiling/skew.py; north-rule item): 80% of customer points are
+    relocated onto ONE z6 tile, then joined to a 4096-row tile
+    dimension. The salt spreads the hot tile over 8 shuffle partitions
+    BEFORE the join (the small side replicates 8x via one explode);
+    the following count aggregation is skew-safe through map-side
+    partial aggregation. Results are identical to the unsalted join
+    (pytest-asserted); the oracle is the plain SQL join + group."""
+    from osmzen_spark.tiling.cells import tile_x_col, tile_y_col
+    from osmzen_spark.tiling.skew import salted_join
+
+    z = 6
+    pts = _customer_points(spark, sf_dir)
+    metro = F.pmod(F.col("id"), F.lit(5)) > 0
+    pts = pts.select(
+        "id",
+        F.when(metro, F.lit(33).cast("bigint")).otherwise(tile_x_col(F.col("lon"), z)).alias("tile_x"),
+        F.when(metro, F.lit(21).cast("bigint")).otherwise(tile_y_col(F.col("lat"), z)).alias("tile_y"),
+    )
+    dim = spark.range(4096).select(
+        F.pmod(F.col("id"), F.lit(64)).alias("tile_x"),
+        F.floor(F.col("id") / 64).alias("tile_y"),
+        F.concat(
+            F.lit("t"),
+            F.pmod(F.col("id"), F.lit(64)).cast("string"),
+            F.lit("-"),
+            F.floor(F.col("id") / 64).cast("string"),
+        ).alias("tname"),
+    )
+    joined = salted_join(pts, dim, on=["tile_x", "tile_y"], entropy="id", n_salt=8)
+    return (
+        joined.groupBy("tile_x", "tile_y", "tname")
+        .agg(F.count(F.lit(1)).alias("n_pts"))
+        .orderBy("tile_x", "tile_y")
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact word-3-gram Jaccard near-dup pairs (explode-shingle
     equi-join, no cross join). True DuckDB oracle: the Jaccard of
@@ -1019,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "ivf_ann": q_ivf_ann,
         "pq_ann": q_pq_ann,
+        "skew_tile_join": q_skew_tile_join,
         "ngram_jaccard": q_ngram_jaccard,
         "route_networks": q_route_networks,
         "gate_min_zoom": q_gate_min_zoom,
@@ -1599,6 +1638,27 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY s DESC, p_id ASC) AS INT) AS adc_rank
         FROM scored QUALIFY adc_rank <= 3
         ORDER BY query_id, point_id
+    """
+    # skewed tile join: the salt changes the physical plan, not the
+    # result — the oracle is the plain join + group
+    d["skew_tile_join"] = f"""
+        WITH pts AS ({pts}),
+        moved AS (
+          SELECT id,
+                 CASE WHEN id % 5 > 0 THEN CAST(33 AS BIGINT)
+                      ELSE {tile_x.format(n=64)} END AS tile_x,
+                 CASE WHEN id % 5 > 0 THEN CAST(21 AS BIGINT)
+                      ELSE {tile_y.format(n=64)} END AS tile_y
+          FROM pts
+        ), dim AS (
+          SELECT i % 64 AS tile_x, i // 64 AS tile_y,
+                 't' || CAST(i % 64 AS VARCHAR) || '-' || CAST(i // 64 AS VARCHAR) AS tname
+          FROM generate_series(0, 4095) g(i)
+        )
+        SELECT m.tile_x, m.tile_y, d.tname, COUNT(*) AS n_pts
+        FROM moved m JOIN dim d USING (tile_x, tile_y)
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2
     """
     # LSH ANN recall: DuckDB re-derives the ENTIRE multi-table LSH
     # index from the embedded deterministic hyperplanes (the same

@@ -118,6 +118,7 @@ def run_operator_bench(spark, sf_dir):
         "ann_recall",
         "ivf_ann",
         "pq_ann",
+        "skew_tile_join",
         "ngram_jaccard",
         "embedding_near_dup",
         "sessionize",
