@@ -34,12 +34,23 @@ def salted_join(
     entropy: str,
     n_salt: int = 8,
     how: str = "inner",
+    broadcast_small: bool = False,
 ) -> DataFrame:
     """Join ``big`` (skewed on ``on``) with ``small``, spreading each
     join key over ``n_salt`` shuffle partitions. ``entropy`` names a
     high-cardinality big-side column (an id) hashed into the salt —
     deterministic, so lineage recomputation after executor loss
-    reproduces identical partitioning."""
+    reproduces identical partitioning.
+
+    The small side is hinted shuffle_hash by default: a broadcastable
+    dim needs no salting at all (a broadcast join shuffles nothing, so
+    there is no partition to skew) — salting exists precisely for the
+    dim that is too big to broadcast, and at sandbox data sizes the
+    hint keeps the demo plan in the regime the operator targets.
+    Pass broadcast_small=True to let the optimizer pick (the salt then
+    costs one int column and is harmless)."""
     b = big.withColumn(SALT, F.pmod(F.xxhash64(F.col(entropy)), F.lit(n_salt)).cast("int"))
     s = small.withColumn(SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+    if not broadcast_small:
+        s = s.hint("shuffle_hash")
     return b.join(s, on=[*on, SALT], how=how).drop(SALT)

@@ -134,3 +134,9 @@ def test_salted_join_equals_plain_join(spark):
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
     plan = salted._jdf.queryExecution().executedPlan().toString()
     assert "__salt" in plan and ("Generate explode" in plan or "explode" in plan)
+    # the join must be a SHUFFLE join with the salt in its keys — a
+    # broadcast join has no shuffle to skew, so salting it would prove
+    # nothing (the small side is shuffle_hash-hinted for exactly this)
+    assert "BroadcastHashJoin" not in plan
+    join_line = next(ln for ln in plan.splitlines() if "HashJoin" in ln or "SortMergeJoin" in ln)
+    assert "__salt" in join_line
