@@ -140,3 +140,31 @@ def test_salted_join_equals_plain_join(spark):
     assert "BroadcastHashJoin" not in plan
     join_line = next(ln for ln in plan.splitlines() if "HashJoin" in ln or "SortMergeJoin" in ln)
     assert "__salt" in join_line
+
+
+def test_tile_partitioned_sink_prunes_scan(spark, tmp_path):
+    """The deployment sink is a tile-partitioned table (Iceberg on a
+    cluster; partitioned parquet here): a tile-filtered read must show
+    PartitionFilters in the scan — partitions outside the filter are
+    never opened — and a narrow projection must prune ReadSchema to
+    the requested columns with the residual filter pushed down."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "tiles")
+    pts = spark.range(1, 2001).select(
+        "id",
+        F.pmod("id", F.lit(8)).alias("tile_x"),
+        F.pmod(F.col("id") * 7, F.lit(8)).alias("tile_y"),
+        (F.col("id") * 2.5).alias("score"),
+    )
+    pts.write.partitionBy("tile_x").parquet(path)
+
+    rd = spark.read.parquet(path).filter(F.col("tile_x") == 3).filter(F.col("tile_y") >= 4)
+    narrow = rd.select("id", "tile_y")
+    plan = narrow._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "tile_x" in plan.split("PartitionFilters", 1)[1][:200]
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(tile_y,4" in plan
+    read_schema = plan.split("ReadSchema", 1)[1][:200]
+    assert "score" not in read_schema  # column pruning reached the scan
+    got = narrow.count()
+    assert got == sum(1 for i in range(1, 2001) if i % 8 == 3 and (7 * i) % 8 >= 4)
