@@ -1628,7 +1628,12 @@ def oracle_sql() -> dict[str, str]:
           FROM nrm n CROSS JOIN cb
           WHERE n.vec_id % 200 = 0
         ), scored AS (
-          SELECT l.q_id, p.p_id, SUM(l.v) AS s
+          -- j-ordered sequential sum: matches the Spark mapper's
+          -- j-ascending accumulation bit-for-bit, so equal-code
+          -- candidates tie EXACTLY (an unordered SUM could round the
+          -- same 8 addends differently per group)
+          SELECT l.q_id, p.p_id,
+                 list_aggregate(list(l.v ORDER BY l.j), 'sum') AS s
           FROM codes p JOIN lut l ON l.j = p.j AND l.c = p.c
           WHERE p.p_id <> l.q_id
           GROUP BY l.q_id, p.p_id

@@ -44,11 +44,22 @@ def payload_cache(spark: SparkSession, sf_dir: str, name: str, builder) -> DataF
     that needs only caption+phash never deserializes the bytes
     column). Concurrent processes race benignly: each writes a
     pid-suffixed temp dir and the first atomic rename wins."""
+    import hashlib
     import os
     import shutil
     import tempfile
 
-    label = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    # key = resolved dir + a fingerprint of its parquet files (path,
+    # size, mtime): two datasets with the same leaf name, or the same
+    # dataset regenerated in place, must not share a cache entry
+    real = os.path.realpath(sf_dir)
+    stats = []
+    for fn in sorted(os.listdir(real)):
+        if fn.endswith(".parquet"):
+            st = os.stat(os.path.join(real, fn))
+            stats.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+    fp = hashlib.sha256("|".join([real, *stats]).encode()).hexdigest()[:16]
+    label = (os.path.basename(real) or "sf") + "-" + fp
     base_dir = os.path.join(
         tempfile.gettempdir(), f"osmzen_payload_cache_v{_PAYLOAD_CACHE_VERSION}", label
     )

@@ -41,6 +41,34 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _safe_norms(v: np.ndarray) -> np.ndarray:
+    """Row norms with zero rows mapped to 1.0, so an all-zero vector
+    stays a zero vector instead of becoming NaN garbage that ranks by
+    noise (and silently diverges from the SQL oracle's NaN path)."""
+    n = np.linalg.norm(v, axis=1, keepdims=True)
+    return np.where(n == 0.0, 1.0, n)
+
+
+def _partial_topk_batch(ids_b: np.ndarray, pid: np.ndarray, scores: np.ndarray, take: int):
+    """Per-query top-``take`` rows of an (n, nq) score block under the
+    GLOBAL order (score desc, p_id asc). An argpartition here would be
+    O(n) but breaks exact-score ties arbitrarily at the cut boundary —
+    equal-score candidates could be dropped in a different order than
+    the final window rank (and the SQL oracles) pick, so the boundary
+    must honor the p_id tiebreak. Returns (q_ids, p_ids, scores)
+    column arrays, query-major."""
+    n, nq = scores.shape
+    take = min(take, n)
+    rows = np.empty(take * nq, dtype=np.int64)
+    for qi in range(nq):
+        rows[qi * take : (qi + 1) * take] = np.lexsort((pid, -scores[:, qi]))[:take]
+    return (
+        np.repeat(ids_b, take),
+        pid[rows],
+        scores[rows, np.repeat(np.arange(nq), take)],
+    )
+
+
 def _vec_matrix(col: pa.Array, dim: int) -> np.ndarray:
     """(n, dim) float64 matrix from an arrow list<float> column; assumes
     fixed-length ``dim`` lists (validated via the flat value count)."""
@@ -75,7 +103,7 @@ def cosine_topk_bruteforce(
     if dim is None:
         dim = points.select(F.size(vec_col)).first()[0]
     q_ids, q_mat = _collect_query_matrix(queries, id_col, vec_col)
-    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_norm = q_mat / _safe_norms(q_mat)
     sc = points.sparkSession.sparkContext
     bc = sc.broadcast((q_ids, q_norm))
     kk = k + 1  # self-match margin: q_id rows are filtered downstream
@@ -99,21 +127,11 @@ def cosine_topk_bruteforce(
                 zero_copy_only=False
             ).astype(np.int64)
             v = _vec_matrix(batch.column(batch.schema.get_field_index(vec_col)), dim)
-            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            v /= _safe_norms(v)
             sims = v @ qn.T  # (n, nq) — one BLAS call for the whole batch
-            take = min(kk, n)
-            if n > take:
-                part = np.argpartition(-sims, take - 1, axis=0)[:take]  # (take, nq)
-            else:
-                part = np.tile(np.arange(n)[:, None], (1, nq))
-            rows = part.T.ravel()  # query-major
-            out_q = np.repeat(ids_b, take)
+            out_q, out_p, out_s = _partial_topk_batch(ids_b, p_ids, sims, kk)
             yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(out_q),
-                    pa.array(p_ids[rows]),
-                    pa.array(sims[rows, np.repeat(np.arange(nq), take)]),
-                ],
+                [pa.array(out_q), pa.array(out_p), pa.array(out_s)],
                 names=["q_id", "p_id", "cosine"],
             )
 
@@ -315,7 +333,7 @@ def ivf_assign_arrow(
             ).astype(np.int64)
             vec_arr = batch.column(batch.schema.get_field_index(vec_col))
             v = _vec_matrix(vec_arr, dim)
-            v = v / np.linalg.norm(v, axis=1, keepdims=True)
+            v = v / _safe_norms(v)
             sims = v @ c.T  # (n, n_centroids)
             take = min(nprobe, c.shape[0])
             # lexsort: primary -sims, secondary cid ascending (stable)
@@ -356,7 +374,7 @@ def ivf_ann_topk(
     q_ids, q_mat = _collect_query_matrix(queries, id_col, vec_col)
     q_sorted = np.argsort(q_ids)
     q_ids_s = q_ids[q_sorted]
-    q_norm_s = (q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True))[q_sorted]
+    q_norm_s = (q_mat / _safe_norms(q_mat))[q_sorted]
     sc = points.sparkSession.sparkContext
     bc = sc.broadcast((q_ids_s, q_norm_s))
 
@@ -389,7 +407,7 @@ def ivf_ann_topk(
                 zero_copy_only=False
             ).astype(np.int64)
             v = _vec_matrix(batch.column(batch.schema.get_field_index(vec_col)), dim)
-            v = v / np.linalg.norm(v, axis=1, keepdims=True)
+            v = v / _safe_norms(v)
             qrow = qn[np.searchsorted(ids_s, qid)]  # (n, dim) gather
             cos = np.einsum("ij,ij->i", qrow, v)
             yield pa.RecordBatch.from_arrays(
@@ -471,7 +489,7 @@ def pq_encode_arrow(
                 zero_copy_only=False
             ).astype(np.int64)
             v = _vec_matrix(batch.column(batch.schema.get_field_index(vec_col)), dim)
-            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            v /= _safe_norms(v)
             code = np.zeros(n, dtype=np.int64)
             for j in range(m):
                 dots = v[:, j * dsub : (j + 1) * dsub] @ codebooks[j].T  # (n, ksub)
@@ -501,7 +519,7 @@ def pq_adc_topk(
     (it is <query, PQ-reconstruction>, not the true cosine)."""
     m, ksub, dsub = codebooks.shape
     q_ids, q_mat = _collect_query_matrix(queries, id_col, vec_col)
-    qn = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    qn = q_mat / _safe_norms(q_mat)
     nq = qn.shape[0]
     luts = np.empty((nq, m, ksub), dtype=np.float64)
     for j in range(m):
@@ -534,18 +552,9 @@ def pq_adc_topk(
             scores = np.zeros((n, nq), dtype=np.float64)
             for j in range(m):  # j-ascending adds: order matches the SQL oracle
                 scores += lu[:, j, fields[:, j]].T
-            take = min(kk, n)
-            if n > take:
-                part = np.argpartition(-scores, take - 1, axis=0)[:take]
-            else:
-                part = np.tile(np.arange(n)[:, None], (1, nq))
-            rows = part.T.ravel()
+            out_q, out_p, out_s = _partial_topk_batch(ids_b, pid, scores, kk)
             yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(np.repeat(ids_b, take)),
-                    pa.array(pid[rows]),
-                    pa.array(scores[rows, np.repeat(np.arange(nq), take)]),
-                ],
+                [pa.array(out_q), pa.array(out_p), pa.array(out_s)],
                 names=["q_id", "p_id", "adc_score"],
             )
 
@@ -645,8 +654,8 @@ def embedding_near_dup(
             ).astype(np.int64)
             va = _vec_matrix(batch.column(batch.schema.get_field_index("vec_a")), dim)
             vb = _vec_matrix(batch.column(batch.schema.get_field_index("vec_b")), dim)
-            va /= np.linalg.norm(va, axis=1, keepdims=True)
-            vb /= np.linalg.norm(vb, axis=1, keepdims=True)
+            va /= _safe_norms(va)
+            vb /= _safe_norms(vb)
             cos = np.einsum("ij,ij->i", va, vb)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(ia), pa.array(ib), pa.array(cos)], names=["id_a", "id_b", "cosine"]

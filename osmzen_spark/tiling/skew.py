@@ -49,6 +49,11 @@ def salted_join(
     hint keeps the demo plan in the regime the operator targets.
     Pass broadcast_small=True to let the optimizer pick (the salt then
     costs one int column and is harmless)."""
+    if how.replace("_", "").lower() in ("right", "rightouter", "full", "fullouter", "outer"):
+        # each small-side key exists n_salt times, so outer semantics
+        # preserving the SMALL side would emit spurious null-extended
+        # rows for every salt replica no big row hashed to
+        raise ValueError(f"salted_join is only correct for big-side-preserving joins, not {how!r}")
     b = big.withColumn(SALT, F.pmod(F.xxhash64(F.col(entropy)), F.lit(n_salt)).cast("int"))
     s = small.withColumn(SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
     if not broadcast_small:
