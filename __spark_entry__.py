@@ -536,6 +536,22 @@ def q_ngram_jaccard(spark, sf_dir):
     return pairs.select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b")
 
 
+def q_dedup_groups(spark, sf_dir):
+    """Dedup group assignment (connected components over near-dup
+    pairs): n-gram Jaccard pairs at tau=0.5 -> min-label propagation
+    to a fixpoint -> (doc_id, rep_id) with rep_id = the component
+    minimum (the survivor a keep-lowest-id dedup retains). The DuckDB
+    oracle re-derives the same pairs and closes them transitively with
+    a recursive CTE, taking MIN over each node's reachable set — a
+    propagation bug, an early stop, or a dropped edge direction all
+    break the hash."""
+    from osmzen_spark.ops.dedup import dedup_components, ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", k=3, min_jaccard=0.5)
+    return dedup_components(pairs).orderBy("doc_id")
+
+
 def q_route_networks(spark, sf_dir):
     """Relation-membership joins (ref:filter/functions.go:161-383):
     bicycle-network resolution, bus-route flag, and path-major-route
@@ -1058,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": q_ivf_ann,
         "pq_ann": q_pq_ann,
         "skew_tile_join": q_skew_tile_join,
+        "dedup_groups": q_dedup_groups,
         "ngram_jaccard": q_ngram_jaccard,
         "route_networks": q_route_networks,
         "gate_min_zoom": q_gate_min_zoom,
@@ -1643,6 +1660,24 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY s DESC, p_id ASC) AS INT) AS adc_rank
         FROM scored QUALIFY adc_rank <= 3
         ORDER BY query_id, point_id
+    """
+    # dedup groups: transitive closure of the ngram_jaccard pairs via
+    # a recursive CTE; MIN over each node's reachable set = the
+    # component minimum the Spark min-label propagation converges to
+    d["dedup_groups"] = f"""
+        WITH RECURSIVE pairs AS ({d["ngram_jaccard"]}),
+        und AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION
+          SELECT id_b AS u, id_a AS v FROM pairs
+        ),
+        reach(u, v) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM und)
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+        )
+        SELECT u AS doc_id, MIN(v) AS rep_id
+        FROM reach GROUP BY u ORDER BY doc_id
     """
     # skewed tile join: the salt changes the physical plan, not the
     # result — the oracle is the plain join + group

@@ -119,6 +119,7 @@ def run_operator_bench(spark, sf_dir):
         "ivf_ann",
         "pq_ann",
         "skew_tile_join",
+        "dedup_groups",
         "ngram_jaccard",
         "embedding_near_dup",
         "sessionize",

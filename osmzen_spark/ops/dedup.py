@@ -239,3 +239,61 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= min_jaccard)
     )
+
+
+def dedup_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over near-dup pairs -> (doc_id, rep_id),
+    rep_id = the component's minimum id (the canonical survivor a
+    keep-lowest-id dedup retains). Near-dup PAIR generation (MinHash /
+    SimHash / n-gram / embedding LSH) leaves transitively-linked
+    groups split across pairs; this is the grouping step a real dedup
+    pipeline runs before dropping non-representatives.
+
+    Min-label propagation: every node starts labeled with itself; each
+    iteration takes the min label over neighbors (one equi-join + one
+    min-aggregate, both map-side combinable) until a fixpoint. The
+    driver loop carries only a changed-row COUNT per iteration — no
+    data is collected — and each labels frame is stage-cut so the plan
+    stays O(1) deep across iterations. Iterations ~ component diameter;
+    near-dup components are hub-shaped (diameter 2-4) so the loop is
+    shallow in practice; at 10^12-edge scale the same loop with the
+    large-star/small-star rewrite (alternating min over neighbors vs
+    over the star) converges in O(log n) rounds. Raises if not
+    converged within max_iter rather than returning wrong groups."""
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)  # scanned every iteration
+    )
+    labels = edges.select("u").distinct().select(
+        F.col("u").alias("node"), F.col("u").alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["node"] == neigh["u"], "left")
+            .select(
+                labels["node"].alias("node"),
+                F.least(labels["label"], F.coalesce("nlabel", labels["label"])).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"dedup_components did not converge in {max_iter} iterations")
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("rep_id"))

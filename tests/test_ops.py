@@ -412,3 +412,19 @@ def test_pq_recall_beats_chance_floor(spark):
     bf = {(r["q_id"], r["p_id"]) for r in cosine_topk_bruteforce(emb, q, k=5, dim=64).collect()}
     recall = len(pq & bf) / len(bf)
     assert recall >= 0.06, recall
+
+
+def test_dedup_components_exact(spark):
+    """Hand-built pair graph: a 4-chain (propagation needs multiple
+    rounds), a triangle, and an isolated pair — every node must label
+    with its component minimum."""
+    from osmzen_spark.ops.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (9, 12),      # chain 1-5-9-12
+         (20, 21), (21, 22), (20, 22),  # triangle
+         (30, 31)],                     # isolated pair
+        "id_a long, id_b long",
+    )
+    got = {r["doc_id"]: r["rep_id"] for r in dedup_components(pairs).collect()}
+    assert got == {1: 1, 5: 1, 9: 1, 12: 1, 20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
