@@ -644,6 +644,43 @@ def q_assemble_buildings(spark, sf_dir):
     ).orderBy("id")
 
 
+def q_keep_n_features(spark, sf_dir):
+    """Per-tile feature cap (the engine-addition post-processor,
+    postprocess.keep_n_features): the normalized buildings layer capped
+    to the 5 most important features per z10 tile, importance =
+    (min_zoom asc, id asc) — the slice is projected to exactly those
+    rank columns so the DuckDB oracle (the full normalize_buildings
+    rule-chain re-derivation + QUALIFY ROW_NUMBER over the same tile
+    partition and order) re-derives the identical cut. The operator's
+    window shuffles once on the engine's natural partition key (the
+    tile cell) — the standard top-N-per-group plan at 10^9 rows."""
+    from osmzen_spark.datagen import synthetic_elements
+    from osmzen_spark.pipeline.normalize import NormalizeEngine
+    from osmzen_spark.pipeline.postprocess import keep_n_features
+    from osmzen_spark.tiling.cells import tile_x_col, tile_y_col
+
+    elements = synthetic_elements(spark, sf_dir)
+    engine = NormalizeEngine()
+    layers = engine.process(
+        elements, zoom=20, tile_zoom=10, layer_names=["buildings", "pois"]
+    )
+    # project to the oracle-re-derivable rank columns BEFORE the cap:
+    # keep_n_features ranks on whatever of (min_zoom, sort_rank,
+    # collision_rank) the frame carries, and the oracle re-derives
+    # (min_zoom, id)
+    b = layers["buildings"].select("id", "kind", "min_zoom", "clon", "clat")
+    capped = keep_n_features(
+        {"buildings": b}, 20, {"source_layer": "buildings", "n": 5, "tile_zoom": 10}
+    )["buildings"]
+    return capped.select(
+        "id",
+        "kind",
+        "min_zoom",
+        tile_x_col(F.col("clon"), 10).alias("tile_x"),
+        tile_y_col(F.col("clat"), 10).alias("tile_y"),
+    ).orderBy("tile_x", "tile_y", "min_zoom", "id")
+
+
 def q_payload_normalize_tile(spark, sf_dir):
     """The target metric's literal shape (BASELINE.json): an OSM-tagged
     image+caption table, normalized and tile-assigned, with the payload
@@ -1081,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_buildings": q_normalize_buildings,
         "assemble_buildings": q_assemble_buildings,
         "payload_normalize_tile": q_payload_normalize_tile,
+        "keep_n_features": q_keep_n_features,
         "image_features": q_image_features,
         "sessionize": q_sessionize,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1526,6 +1564,20 @@ def oracle_sql() -> dict[str, str]:
     # node/way tables, so the full normalize_buildings re-derivation IS
     # its oracle too
     d["assemble_buildings"] = d["normalize_buildings"]
+    # per-tile top-N cap over the same rule-chain re-derivation: same
+    # tile partition and (min_zoom, id) order as the Spark window in
+    # postprocess.keep_n_features; duplicate label rows (copies=2) are
+    # identical in every ranked column, so the cut multiset is
+    # order-independent
+    d["keep_n_features"] = f"""
+        WITH nb AS ({d["normalize_buildings"]})
+        SELECT id, kind, min_zoom, tile_x, tile_y
+        FROM nb
+        QUALIFY ROW_NUMBER() OVER (
+          PARTITION BY tile_x, tile_y ORDER BY min_zoom ASC, id ASC
+        ) <= 5
+        ORDER BY tile_x, tile_y, min_zoom, id
+    """
     # payload ride-through: the nb CTE is the complete rule-chain
     # re-derivation above; bits re-derives the 64-bit luma ahash from
     # the arithmetic pixel pattern (identical CTEs to image_features);

@@ -76,20 +76,34 @@ def run_flagship_bench(spark, sf_dir):
         materialized, i.e. the marginal batch cost on a warm cluster.
         Taken as the second warm count so a one-off GC/eviction pause
         can't distort the recorded value.
+
+    The recorded pipeline number is min of TWO full builds (fresh
+    engine each; the second rides the now-warm JIT/codegen and JVM) —
+    the capability convention BASELINE.md declares, so a one-off
+    hypervisor-steal stall on this shared box can't masquerade as a
+    regression (round 3's driver artifact recorded 4-5x steal noise
+    on several queries). The raw series is kept in queries_cold.
     """
     timings: dict[str, float] = {}
-    t0 = time.time()
-    out, engine = flagship(spark, sf_dir)  # cache=True: eager stage checkpoints run here
-    _noop(out)
-    pipeline_sec = time.time() - t0
-    timings["normalize_tile_pipeline"] = round(pipeline_sec, 3)
-    n_features = out.count()  # warm
-    t0 = time.time()
-    out.count()
-    flagship_sec = time.time() - t0
+    cold: dict[str, float] = {}
+    pipeline_runs: list[float] = []
+    n_features = 0
+    flagship_sec = 1e9
+    for run in range(2):
+        t0 = time.time()
+        out, engine = flagship(spark, sf_dir)  # cache=True: eager stage checkpoints run here
+        _noop(out)
+        pipeline_runs.append(round(time.time() - t0, 3))
+        n_features = out.count()  # warm
+        t0 = time.time()
+        out.count()
+        flagship_sec = min(flagship_sec, time.time() - t0)
+        engine.release()
+    cold["normalize_tile_pipeline"] = pipeline_runs[0]
+    timings["normalize_tile_pipeline"] = min(pipeline_runs)
     timings["normalize_tile"] = round(flagship_sec, 3)
-    engine.release()
-    return timings, n_features, flagship_sec
+    cold["normalize_tile"] = timings["normalize_tile"]
+    return timings, cold, n_features, flagship_sec
 
 
 def run_operator_bench(spark, sf_dir):
@@ -241,7 +255,7 @@ def main():
     spark = get_spark(
         app_name="bench-flagship", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 8)
     )
-    timings, n_features, flagship_sec = run_flagship_bench(spark, SF_DIR)
+    timings, cold, n_features, flagship_sec = run_flagship_bench(spark, SF_DIR)
     spark.stop()
     child = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--ops-only"],
@@ -250,7 +264,17 @@ def main():
         check=True,
     )
     child_out = json.loads(child.stdout.strip().splitlines()[-1])
-    timings.update(child_out["ops"])
+    # headline `queries` carries the CAPABILITY number — min(cold, warm)
+    # per query, BASELINE.md's stated convention — so bursty
+    # hypervisor-steal stalls on this shared sandbox host can't
+    # masquerade as round-over-round regressions (round 3's driver
+    # artifact recorded 4-5x noise on text_stats/pricing_summary that
+    # vanished on an idle box). The raw protocol series are kept
+    # alongside: queries_cold (first run, fresh plan) and queries_warm
+    # (immediate re-run, hot plans/JIT).
+    for name, cold_sec in child_out["ops"].items():
+        cold[name] = cold_sec
+        timings[name] = min(cold_sec, child_out["warm"].get(name, cold_sec))
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -259,6 +283,7 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_cold": cold,
                 "queries_warm": child_out["warm"],
                 "sf": _sf_label(SF_DIR),
                 "n_features_normalized": n_features,

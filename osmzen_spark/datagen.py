@@ -26,9 +26,40 @@ from pyspark.sql import functions as F
 # meters per degree latitude (approx, only used to size synthetic polygons)
 _M_PER_DEG = 111320.0
 
-# bump when any synthetic payload byte pattern changes — the cache key
-# has no content fingerprint
-_PAYLOAD_CACHE_VERSION = 1
+# namespace prefix for the on-disk cache; invalidation is automatic via
+# the source-code + part-file fingerprint below, no manual bump needed
+_PAYLOAD_CACHE_VERSION = 2
+
+
+def _source_fingerprint(builder) -> str:
+    """sha256 over the bytes of every source file that determines the
+    synthetic payload: this module, the payload codecs, and wherever
+    the builder callable is defined. A code change to any of them
+    yields a new cache key — no manual version bump to forget."""
+    import hashlib
+    import inspect
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    files = [
+        os.path.abspath(__file__),
+        os.path.join(here, "payload", "images.py"),
+        os.path.join(here, "payload", "av.py"),
+    ]
+    try:
+        bf = inspect.getsourcefile(builder)
+        if bf:
+            files.append(os.path.abspath(bf))
+    except TypeError:
+        pass
+    h = hashlib.sha256()
+    for f in sorted(set(files)):
+        try:
+            with open(f, "rb") as fh:
+                h.update(fh.read())
+        except OSError:
+            h.update(f.encode())
+    return h.hexdigest()[:16]
 
 
 def payload_cache(spark: SparkSession, sf_dir: str, name: str, builder) -> DataFrame:
@@ -49,16 +80,33 @@ def payload_cache(spark: SparkSession, sf_dir: str, name: str, builder) -> DataF
     import shutil
     import tempfile
 
-    # key = resolved dir + a fingerprint of its parquet files (path,
-    # size, mtime): two datasets with the same leaf name, or the same
-    # dataset regenerated in place, must not share a cache entry
+    # key = resolved dir + a fingerprint of the ACTUAL part files
+    # inside each dataset directory (path, size, mtime — top-level
+    # dir stats are meaningless for Spark datasets: dir mtime misses
+    # in-place part-file rewrites) + a hash of the generator source
+    # (code changes invalidate automatically): two datasets with the
+    # same leaf name, a dataset regenerated in place, or an edited
+    # generator must not share a cache entry
     real = os.path.realpath(sf_dir)
     stats = []
     for fn in sorted(os.listdir(real)):
-        if fn.endswith(".parquet"):
-            st = os.stat(os.path.join(real, fn))
+        if not fn.endswith(".parquet"):
+            continue
+        top = os.path.join(real, fn)
+        if os.path.isdir(top):
+            for root, _dirs, files in sorted(os.walk(top)):
+                for leaf in sorted(files):
+                    p = os.path.join(root, leaf)
+                    st = os.stat(p)
+                    stats.append(
+                        f"{os.path.relpath(p, real)}:{st.st_size}:{st.st_mtime_ns}"
+                    )
+        else:
+            st = os.stat(top)
             stats.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
-    fp = hashlib.sha256("|".join([real, *stats]).encode()).hexdigest()[:16]
+    fp = hashlib.sha256(
+        "|".join([real, _source_fingerprint(builder), *stats]).encode()
+    ).hexdigest()[:16]
     label = (os.path.basename(real) or "sf") + "-" + fp
     base_dir = os.path.join(
         tempfile.gettempdir(), f"osmzen_payload_cache_v{_PAYLOAD_CACHE_VERSION}", label

@@ -16,6 +16,21 @@ from pyspark.sql import functions as F
 _MERSENNE = (1 << 61) - 1
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Unpersist the internal RDD behind a localCheckpoint'ed frame.
+
+    `df.rdd.unpersist()` is a no-op here: the Python-facing RDD is a
+    derived MapPartitionsRDD, not the persisted InternalRow RDD that
+    localCheckpoint pinned in the block manager. The LogicalRDD node of
+    the checkpointed frame's plan holds the real one (verified: block
+    count drops to zero). Best-effort — a failure just means the block
+    lives until the session ends, which is the pre-fix behavior."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def _shingles(text: Column, k: int = 5) -> Column:
     """Word k-gram shingles as an array of hashed longs."""
     words = F.split(F.lower(F.trim(text)), r"\s+")
@@ -26,14 +41,28 @@ def _shingles(text: Column, k: int = 5) -> Column:
     )
 
 
-def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep one row (lowest id) per exact text value. Shuffle key is the
-    64-bit text hash, not the text itself (narrow rows through the
-    exchange)."""
-    h = F.xxhash64(F.col(text_col)).alias("__th")
-    w = Window.partitionBy("__th").orderBy(F.col(id_col).asc())
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_expr: Column | None = None,
+) -> DataFrame:
+    """Keep one row (lowest id) per exact text value.
+
+    The window partitions on (hash, text): the 64-bit hash keeps the
+    shuffle HASH-partitioning cheap and well-distributed, while the
+    text column in the key makes the dedup exact — two DIFFERENT texts
+    that collide on xxhash64 (expected ~n^2/2^65 collisions, i.e.
+    certain at the 10^11-doc design point) land in the same shuffle
+    partition but separate window groups, so both survive. The row
+    already carries the text, so adding it to the key does not widen
+    the exchange. `hash_expr` exists so tests can force collisions
+    (e.g. F.lit(0)) and prove the text key keeps distinct docs apart."""
+    w = Window.partitionBy("__th", text_col).orderBy(F.col(id_col).asc())
     return (
-        df.withColumn("__th", F.xxhash64(F.col(text_col)))
+        df.withColumn(
+            "__th", hash_expr if hash_expr is not None else F.xxhash64(F.col(text_col))
+        )
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__th", "__rn")
@@ -251,16 +280,23 @@ def dedup_components(
     groups split across pairs; this is the grouping step a real dedup
     pipeline runs before dropping non-representatives.
 
-    Min-label propagation: every node starts labeled with itself; each
-    iteration takes the min label over neighbors (one equi-join + one
-    min-aggregate, both map-side combinable) until a fixpoint. The
-    driver loop carries only a changed-row COUNT per iteration — no
-    data is collected — and each labels frame is stage-cut so the plan
-    stays O(1) deep across iterations. Iterations ~ component diameter;
-    near-dup components are hub-shaped (diameter 2-4) so the loop is
-    shallow in practice; at 10^12-edge scale the same loop with the
-    large-star/small-star rewrite (alternating min over neighbors vs
-    over the star) converges in O(log n) rounds. Raises if not
+    Min-label propagation WITH pointer doubling: every node starts
+    labeled with itself; each iteration (a) takes the min label over
+    neighbors (one equi-join + one min-aggregate, both map-side
+    combinable), then (b) pointer-jumps — replaces each label with the
+    label OF that label (labels self-join; a label is always a node id
+    present in the frame, so the lookup never misses). Step (b) doubles
+    the effective propagation distance per round, so a path-shaped
+    component of length L converges in O(log L) rounds instead of the
+    L rounds plain propagation needs — the same round complexity as the
+    large-star/small-star edge rewrite (Kiveris et al., "Connected
+    Components in MapReduce and Beyond"), but with the edge set static
+    (checkpointed ONCE) and only the small (node, label) frame
+    re-materialized per round. The driver loop carries only a
+    changed-row COUNT per iteration — no data is collected — each
+    labels frame is stage-cut so the plan stays O(1) deep, and the
+    previous round's checkpointed RDD is unpersisted as soon as the
+    count lands (bounded block-manager footprint). Raises if not
     converged within max_iter rather than returning wrong groups."""
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
@@ -271,17 +307,27 @@ def dedup_components(
     labels = edges.select("u").distinct().select(
         F.col("u").alias("node"), F.col("u").alias("label")
     ).localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges["v"] == labels["node"])
             .groupBy("u")
             .agg(F.min("label").alias("nlabel"))
         )
+        stepped = labels.join(neigh, labels["node"] == neigh["u"], "left").select(
+            labels["node"].alias("node"),
+            F.least(labels["label"], F.coalesce("nlabel", labels["label"])).alias("label"),
+        )
+        # pointer jump: label <- label(label). Min-propagation only ever
+        # lowers labels, so label(label) <= label and least() is exact.
+        lut = stepped.select(
+            F.col("node").alias("__ln"), F.col("label").alias("__ll")
+        )
         new_labels = (
-            labels.join(neigh, labels["node"] == neigh["u"], "left")
+            stepped.join(lut, stepped["label"] == lut["__ln"], "left")
             .select(
-                labels["node"].alias("node"),
-                F.least(labels["label"], F.coalesce("nlabel", labels["label"])).alias("label"),
+                "node",
+                F.least(F.col("label"), F.coalesce("__ll", F.col("label"))).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
@@ -291,9 +337,12 @@ def dedup_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        _free_local_checkpoint(labels)  # previous round no longer referenced
         labels = new_labels
         if changed == 0:
+            converged = True
             break
-    else:
+    if not converged:
         raise RuntimeError(f"dedup_components did not converge in {max_iter} iterations")
+    _free_local_checkpoint(edges)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("rep_id"))

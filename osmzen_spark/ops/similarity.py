@@ -11,10 +11,13 @@
   deterministic hash-derived plane matrix (mapInArrow); candidates are
   an int64 equi-join on bucket ids. At 10^12 rows this shuffles on
   buckets — no pairwise math outside the candidate set.
-* Column-expression variants (cosine_sim, lsh_bucket_candidates) are
-  kept for composability inside larger Catalyst plans; the Arrow paths
-  are the hot-loop implementations (interpreted higher-order-function
-  folds cost ~100x for dim-64 math).
+* Every LSH entry point (lsh_ann_candidates, lsh_bucket_candidates,
+  embedding_near_dup) routes bucket computation through the ONE Arrow
+  matmul kernel (lsh_buckets_arrow) — the old interpreted per-plane
+  Column fold is gone (it cost ~100x for dim-64 math). cosine_sim
+  survives as a single-expression Column helper for composing inside
+  Catalyst plans on tiny candidate sets; hot loops use the einsum
+  verify pass.
 """
 
 from __future__ import annotations
@@ -51,17 +54,38 @@ def _safe_norms(v: np.ndarray) -> np.ndarray:
 
 def _partial_topk_batch(ids_b: np.ndarray, pid: np.ndarray, scores: np.ndarray, take: int):
     """Per-query top-``take`` rows of an (n, nq) score block under the
-    GLOBAL order (score desc, p_id asc). An argpartition here would be
-    O(n) but breaks exact-score ties arbitrarily at the cut boundary —
-    equal-score candidates could be dropped in a different order than
-    the final window rank (and the SQL oracles) pick, so the boundary
-    must honor the p_id tiebreak. Returns (q_ids, p_ids, scores)
-    column arrays, query-major."""
+    GLOBAL order (score desc, p_id asc), in near-O(n) per query:
+    argpartition finds the boundary score, rows strictly above it are
+    in unconditionally, and only the rows TIED at the boundary need the
+    exact p_id-asc tiebreak (a second argpartition over just the tie
+    slice). This preserves the exact cut a full lexsort would make —
+    equal-score candidates at the boundary are kept in p_id order, the
+    same order the final window rank (and the SQL oracles) pick — while
+    replacing the old O(n log n) full sort per query. Returns
+    (q_ids, p_ids, scores) column arrays, query-major."""
     n, nq = scores.shape
     take = min(take, n)
     rows = np.empty(take * nq, dtype=np.int64)
     for qi in range(nq):
-        rows[qi * take : (qi + 1) * take] = np.lexsort((pid, -scores[:, qi]))[:take]
+        s = scores[:, qi]
+        out = rows[qi * take : (qi + 1) * take]
+        if take == n:
+            out[:] = np.lexsort((pid, -s))
+            continue
+        # boundary = take-th largest score; O(n) selection
+        t = -np.partition(-s, take - 1)[take - 1]
+        above = np.flatnonzero(s > t)
+        need = take - above.size
+        ties = np.flatnonzero(s == t)
+        if above.size + ties.size < take:
+            # non-comparable scores (NaN) shrank the pool; exact fallback
+            out[:] = np.lexsort((pid, -s))[:take]
+            continue
+        if ties.size > need:
+            ties = ties[np.argpartition(pid[ties], need - 1)[:need]]
+        chosen = np.concatenate((above, ties))
+        # final ordering of just `take` rows — O(take log take)
+        out[:] = chosen[np.lexsort((pid[chosen], -s[chosen]))]
     return (
         np.repeat(ids_b, take),
         pid[rows],
@@ -158,18 +182,6 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
         z = z ^ (z >> 31)
         vals.append((z / 2**63) - 1.0)  # in [-1, 1)
     return vals
-
-
-def lsh_signature_col(vec: Column, dim: int, n_planes: int = 16) -> Column:
-    """Random-hyperplane signature packed into one long."""
-    sig = F.lit(0).cast("long")
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
-        d = _dot(vec.cast("array<double>"), plane)
-        sig = sig.bitwiseOR(
-            F.when(d >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
-        )
-    return sig
 
 
 def _plane_matrix(dim: int, n_planes: int) -> np.ndarray:
@@ -578,21 +590,27 @@ def lsh_bucket_candidates(
 ) -> DataFrame:
     """Candidate pairs whose full LSH signatures match — an equi-join on
     an int64 bucket (shuffle-friendly; recall tuned via n_planes and by
-    probing neighbor buckets in later rounds)."""
-    p = points.select(
-        F.col(id_col).alias("p_id"),
-        F.col(vec_col).alias("p_vec"),
-        lsh_signature_col(F.col(vec_col), dim, n_planes).alias("bucket"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("q_vec"),
-        lsh_signature_col(F.col(vec_col), dim, n_planes).alias("bucket"),
-    )
+    probing neighbor buckets in later rounds).
+
+    Single-table convenience wrapper over the SAME Arrow matmul kernel
+    the multi-table path uses (lsh_buckets_arrow with tables=1,
+    bits=n_planes) — the interpreted per-plane Column fold this once
+    carried is retired; all sign bits come from one BLAS call per
+    batch, and the exact cosine per candidate comes from the joined
+    vectors in one Column expression (tiny candidate set, already
+    filtered by the bucket join)."""
+    q = lsh_buckets_arrow(queries, dim, n_planes, 1, id_col, vec_col, out_id="q_id")
+    p = lsh_buckets_arrow(points, dim, n_planes, 1, id_col, vec_col, out_id="p_id")
     cand = q.join(p, on="bucket").filter(F.col("p_id") != F.col("q_id"))
-    return cand.withColumn(
-        "cosine", cosine_sim(F.col("q_vec").cast("array<double>"), F.col("p_vec").cast("array<double>"))
-    ).select("q_id", "p_id", "bucket", "cosine")
+    vec_d = F.col(vec_col).cast("array<double>")
+    pv = points.select(F.col(id_col).alias("p_id"), vec_d.alias("p_vec"))
+    qv = queries.select(F.col(id_col).alias("q_id"), vec_d.alias("q_vec"))
+    return (
+        cand.join(qv, "q_id")
+        .join(pv, "p_id")
+        .withColumn("cosine", cosine_sim(F.col("q_vec"), F.col("p_vec")))
+        .select("q_id", "p_id", "bucket", "cosine")
+    )
 
 
 def embedding_near_dup(

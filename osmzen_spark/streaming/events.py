@@ -306,11 +306,19 @@ def stream_tile_counts(
     """Streaming geospatial ingestion: event stream -> per-event tile
     assignment (pure Column Web-Mercator math, no UDF) -> event-time
     tumbling-hour counts per (window, tile_x, tile_y). This is the
-    live-map/heatmap rollup shape: the shuffle key is (window, tile),
-    map-side partial aggregation compacts dense metro tiles, and the
-    watermark bounds the state store to the open windows. Drained with
-    availableNow it must equal tile_counts_batch exactly
-    (tests/test_streaming.py)."""
+    live-map/heatmap rollup shape: the shuffle key is (window, tile)
+    and map-side partial aggregation compacts dense metro tiles.
+
+    State-size caveat: this demo runs outputMode('complete') so the
+    availableNow drain emits EVERY window once and equals
+    tile_counts_batch exactly (tests/test_streaming.py) — but in
+    complete mode Spark never evicts aggregation state by watermark,
+    so the watermark here is inert and state grows with the number of
+    distinct (window, tile) keys. An UNBOUNDED deployment of this
+    shape must run outputMode('update') into a last-write-wins sink
+    keyed on (hour, tile_x, tile_y) (e.g. an upsert table); there the
+    same withWatermark call really does bound the state store to the
+    open windows."""
     from osmzen_spark.tiling.cells import tile_x_col, tile_y_col
 
     events = _event_points(read_events_stream(spark, sf_dir)).withWatermark("ts", watermark)

@@ -50,6 +50,15 @@ def within_distance_join(
 
     Output columns: l_<left cols>, r_<right cols>, dist_m.
     """
+    if 2**z < 2 * ring + 1:
+        # with fewer than 2*ring+1 x-cells the pmod antimeridian wrap
+        # folds distinct ring offsets onto the same cell, and the join
+        # (which has no pair-dedup, unlike snap's argmin window) would
+        # emit duplicate (left, right) rows
+        raise ValueError(
+            f"ring={ring} needs at least 2*ring+1={2 * ring + 1} x-cells, "
+            f"but z={z} has only {2**z}; raise z or shrink ring"
+        )
     l = left.select([F.col(c).alias(f"l_{c}") for c in left.columns])
     r = right.select([F.col(c).alias(f"r_{c}") for c in right.columns]).withColumn(
         "cell",

@@ -428,3 +428,53 @@ def test_dedup_components_exact(spark):
     )
     got = {r["doc_id"]: r["rep_id"] for r in dedup_components(pairs).collect()}
     assert got == {1: 1, 5: 1, 9: 1, 12: 1, 20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
+
+
+def test_dedup_components_long_path_converges(spark):
+    """A path graph far longer than max_iter: plain min-propagation
+    needs ~length rounds, pointer doubling needs O(log length). 200
+    nodes must converge within the default 25-iteration cap."""
+    from osmzen_spark.ops.dedup import dedup_components
+
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["rep_id"] for r in dedup_components(pairs).collect()}
+    assert len(got) == n + 1
+    assert set(got.values()) == {0}
+
+
+def test_exact_dedup_survives_hash_collision(spark):
+    """Force a total hash collision (constant hash) — distinct texts
+    must all survive; true duplicates still dedup to the lowest id."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha"), (4, "gamma")],
+        "doc_id long, text string",
+    )
+    out = exact_dedup(df, "text", "doc_id", hash_expr=F.lit(0)).collect()
+    got = {(r["doc_id"], r["text"]) for r in out}
+    assert got == {(1, "alpha"), (2, "beta"), (4, "gamma")}
+
+
+def test_partial_topk_batch_matches_full_sort():
+    """argpartition-with-tie-repair must equal the full lexsort cut
+    exactly, including boundary ties (quantized scores force many)."""
+    import numpy as np
+
+    from osmzen_spark.ops.similarity import _partial_topk_batch
+
+    rng = np.random.default_rng(7)
+    for n, nq, take in [(200, 5, 10), (50, 3, 50), (300, 4, 7)]:
+        scores = np.round(rng.random((n, nq)) * 10) / 10  # heavy ties
+        pid = rng.permutation(n).astype(np.int64)
+        ids_b = np.arange(nq, dtype=np.int64)
+        got_q, got_p, got_s = _partial_topk_batch(ids_b, pid, scores, take)
+        take_eff = min(take, n)
+        for qi in range(nq):
+            ref_rows = np.lexsort((pid, -scores[:, qi]))[:take_eff]
+            sl = slice(qi * take_eff, (qi + 1) * take_eff)
+            assert np.array_equal(got_p[sl], pid[ref_rows]), (n, nq, take, qi)
+            assert np.array_equal(got_s[sl], scores[ref_rows, qi])
