@@ -1136,8 +1136,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _image_px_sql() -> str:
+    """Shared CTE chain re-deriving EVERY decoded pixel of the
+    synthetic payload table as relation px(k, x, y, c, v), all three
+    formats:
+
+    * raw / png rows (k % 4 != 2): the arithmetic pattern directly —
+      both codecs are lossless, decode(encode(pattern)) == pattern.
+    * jpeg rows (k % 4 == 2): the LOSSY format with a lossless oracle.
+      datagen synthesizes the stream in the coefficient domain
+      (quant=16, DC + three low-frequency ACs as closed forms of the
+      seed — mirrored verbatim in jco below), and the decoder's
+      integer pipeline (payload/jpeg.py) is exactly reproducible in
+      SQL: scaled-integer IDCT with the SAME 16 A[u][x] constants
+      (inlined from idct_constants(), so numpy and DuckDB literally
+      share literals), floor-division rounding, level shift, clamp,
+      then libjpeg's fixed-point YCbCr->RGB. A Huffman bug, an IDCT
+      bug, a dequant bug, or one wrong rounding mode all break the
+      value hash of every consumer (image_features, image_resize,
+      image_channel_stats, payload_normalize_tile).
+    """
+    from osmzen_spark.payload.jpeg import idct_constants
+
+    a = idct_constants()
+    acon_vals = ", ".join(
+        f"({u}, {p}, {int(a[u][p])})" for u in range(2) for p in range(8)
+    )
+    return f"""ks AS (
+          SELECT DISTINCT l_orderkey * 8 + l_linenumber AS k,
+                 ((l_orderkey * 8 + l_linenumber) * 2654435761) % 2147483648 AS seed
+          FROM lineitem
+        ), patpx AS (
+          SELECT k, x, y, c, (seed + 7*x + 13*y + 29*c) % 256 AS v
+          FROM ks,
+               generate_series(0, 7) tx(x),
+               generate_series(0, 7) ty(y),
+               generate_series(0, 2) tc(c)
+          WHERE k % 4 != 2
+        ), jco AS (
+          SELECT k, ch, u, q,
+                 16 * (CASE
+                   WHEN u = 0 AND q = 0 THEN (seed + 5*ch) % 128 - 64
+                   WHEN u = 0 AND q = 1 THEN (seed // 4 + 3*ch) % 9 - 4
+                   WHEN u = 1 AND q = 0 THEN (seed // 16 + 7*ch) % 9 - 4
+                   ELSE (seed // 64 + 11*ch) % 5 - 2 END) AS s
+          FROM ks,
+               generate_series(0, 1) tu(u),
+               generate_series(0, 1) tq(q),
+               generate_series(0, 2) tch(ch)
+          WHERE k % 4 = 2
+        ), acon(f, p, a) AS (
+          VALUES {acon_vals}
+        ), jycc AS (
+          SELECT jco.k, jco.ch, ar.p AS r, ac.p AS cc,
+                 GREATEST(0, LEAST(255,
+                   CAST(FLOOR((SUM(ar.a * ac.a * jco.s) + 2097152) / 4194304.0) AS BIGINT)
+                   + 128)) AS val
+          FROM jco
+          JOIN acon ar ON ar.f = jco.u
+          JOIN acon ac ON ac.f = jco.q
+          GROUP BY jco.k, jco.ch, ar.p, ac.p
+        ), jyw AS (
+          SELECT k, r, cc,
+                 MAX(CASE WHEN ch = 0 THEN val END) AS yy,
+                 MAX(CASE WHEN ch = 1 THEN val END) - 128 AS cb,
+                 MAX(CASE WHEN ch = 2 THEN val END) - 128 AS cr
+          FROM jycc GROUP BY k, r, cc
+        ), jpx AS (
+          SELECT k, cc AS x, r AS y, ci.c AS c,
+                 CASE ci.c
+                   WHEN 0 THEN GREATEST(0, LEAST(255,
+                     yy + CAST(FLOOR((91881*cr + 32768) / 65536.0) AS BIGINT)))
+                   WHEN 1 THEN GREATEST(0, LEAST(255,
+                     yy - CAST(FLOOR((22554*cb + 46802*cr + 32768) / 65536.0) AS BIGINT)))
+                   ELSE GREATEST(0, LEAST(255,
+                     yy + CAST(FLOOR((116130*cb + 32768) / 65536.0) AS BIGINT)))
+                 END AS v
+          FROM jyw, (VALUES (0), (1), (2)) ci(c)
+        ), px AS (
+          SELECT k, x, y, c, v FROM patpx
+          UNION ALL
+          SELECT k, x, y, c, v FROM jpx
+        )"""
+
+
 def oracle_sql() -> dict[str, str]:
     pts = _CUSTOMER_POINTS_SQL
+    img_px = _image_px_sql()
     tile_x = "CAST(GREATEST(0, LEAST({n} - 1, CAST(FLOOR((lon + 180.0) / 360.0 * {n}) AS BIGINT))) AS BIGINT)"
     tile_y = (
         "CAST(GREATEST(0, LEAST({n} - 1, CAST(FLOOR((1.0 - LN(TAN(RADIANS(GREATEST(-85.05112877980659, LEAST(85.05112877980659, lat)))) "
@@ -1585,17 +1670,7 @@ def oracle_sql() -> dict[str, str]:
     # pass-through matches
     d["payload_normalize_tile"] = f"""
         WITH nb AS ({d["normalize_buildings"]}),
-        ks AS (
-          SELECT DISTINCT l_orderkey * 8 + l_linenumber AS k,
-                 ((l_orderkey * 8 + l_linenumber) * 2654435761) % 2147483648 AS seed
-          FROM lineitem
-        ), px AS (
-          SELECT k, x, y, c, (seed + 7*x + 13*y + 29*c) % 256 AS v
-          FROM ks,
-               generate_series(0, 7) tx(x),
-               generate_series(0, 7) ty(y),
-               generate_series(0, 2) tc(c)
-        ), luma AS (
+        {img_px}, luma AS (
           SELECT k, x, y,
                  SUM(CASE c WHEN 0 THEN 299*v WHEN 1 THEN 587*v ELSE 114*v END) AS l
           FROM px GROUP BY k, x, y
@@ -1805,18 +1880,8 @@ def oracle_sql() -> dict[str, str]:
     # integer sums over 64 = 2^6 pixels) and the luma average-hash
     # (exact: 64*luma > total integer comparison, bit (y*8+x), emitted
     # as two unsigned 32-bit halves to avoid int64 sign-wrap).
-    d["image_features"] = """
-        WITH ks AS (
-          SELECT DISTINCT l_orderkey * 8 + l_linenumber AS k,
-                 ((l_orderkey * 8 + l_linenumber) * 2654435761) % 2147483648 AS seed
-          FROM lineitem
-        ), px AS (
-          SELECT k, x, y, c, (seed + 7*x + 13*y + 29*c) % 256 AS v
-          FROM ks,
-               generate_series(0, 7) tx(x),
-               generate_series(0, 7) ty(y),
-               generate_series(0, 2) tc(c)
-        ), luma AS (
+    d["image_features"] = f"""
+        WITH {img_px}, luma AS (
           SELECT k, x, y,
                  SUM(CASE c WHEN 0 THEN 299*v WHEN 1 THEN 587*v ELSE 114*v END) AS l
           FROM px GROUP BY k, x, y
@@ -1844,18 +1909,8 @@ def oracle_sql() -> dict[str, str]:
     """
     # resize stage: every pooled byte re-derived from the arithmetic
     # pixel pattern; floor(mean of the 2x2 block) == SUM // 4 exactly
-    d["image_resize"] = """
-        WITH ks AS (
-          SELECT DISTINCT l_orderkey * 8 + l_linenumber AS k,
-                 ((l_orderkey * 8 + l_linenumber) * 2654435761) % 2147483648 AS seed
-          FROM lineitem
-        ), px AS (
-          SELECT k, x, y, c, (seed + 7*x + 13*y + 29*c) % 256 AS v
-          FROM ks,
-               generate_series(0, 7) tx(x),
-               generate_series(0, 7) ty(y),
-               generate_series(0, 2) tc(c)
-        ), pooled AS (
+    d["image_resize"] = f"""
+        WITH {img_px}, pooled AS (
           SELECT k, y // 2 AS py, x // 2 AS qx, c, SUM(v) // 4 AS pv
           FROM px GROUP BY k, y // 2, x // 2, c
         )
@@ -2051,18 +2106,8 @@ def oracle_sql() -> dict[str, str]:
           AND GREATEST(a.cy - a.hh, b.cy - b.hh) < LEAST(a.cy + a.hh, b.cy + b.hh)
         ORDER BY rect_a, rect_b
     """
-    d["image_channel_stats"] = """
-        WITH ks AS (
-          SELECT DISTINCT l_orderkey * 8 + l_linenumber AS k,
-                 ((l_orderkey * 8 + l_linenumber) * 2654435761) % 2147483648 AS seed
-          FROM lineitem
-        ), px AS (
-          SELECT k, x, y, c, (seed + 7*x + 13*y + 29*c) % 256 AS v
-          FROM ks,
-               generate_series(0, 7) tx(x),
-               generate_series(0, 7) ty(y),
-               generate_series(0, 2) tc(c)
-        )
+    d["image_channel_stats"] = f"""
+        WITH {img_px}
         SELECT 'img-' || k AS image_id,
                CAST(SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
                CAST(SUM(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,

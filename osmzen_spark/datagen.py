@@ -531,13 +531,22 @@ def _network_from_base(base: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame
 def synthetic_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Payload table (input_hint shape), one 8x8 RGB image per lineitem
     row, materialized once per SF via payload_cache and read back as a
-    parquet scan. Pixels follow a closed-form arithmetic pattern —
-    pixel(x, y, c) = (seed + 7x + 13y + 29c) mod 256 with
-    seed = (key * 2654435761) mod 2^31 — so a SQL oracle can re-derive
-    every decoded value without any codec. Even keys are PNG-encoded
-    (the stdlib codec in payload.images), odd keys raw RGB bytes; the
-    phash column is the REAL 64-bit luma average-hash of the pixels
-    (payload.images.luma_ahash64), not a placeholder."""
+    parquet scan. Three real formats, all with closed-form decodable
+    pixels so a SQL oracle re-derives every value without any codec:
+
+    * odd keys: raw RGB bytes, pixel(x, y, c) =
+      (seed + 7x + 13y + 29c) mod 256, seed = (key*2654435761) mod 2^31
+    * keys % 4 == 0: the SAME pattern, PNG-encoded (stdlib codec)
+    * keys % 4 == 2: REAL baseline JFIF streams synthesized in the
+      COEFFICIENT domain (payload/jpeg.py encode_from_coefficients):
+      per channel the quantized DC + three low-frequency ACs are a
+      closed form of the seed, quant tables are all-16, and the
+      decoder's integer IDCT + fixed-point color convert make every
+      decoded pixel an exact integer function of the key — lossy-format
+      bytes with a lossless oracle.
+
+    The phash column is the REAL 64-bit luma average-hash of the
+    DECODED pixels (payload.images.luma_ahash64), not a placeholder."""
     return payload_cache(
         spark, sf_dir, "images", lambda: _synthetic_images_uncached(spark, sf_dir)
     )
@@ -564,9 +573,33 @@ def _synthetic_images_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
     def mapper(batches):
         import numpy as np
 
+        from osmzen_spark.payload.jpeg import (
+            encode_from_coefficients,
+            idct8x8_int,
+            ycbcr_to_rgb_int,
+        )
+
         xs = np.arange(w).reshape(1, 1, w, 1)
         ys = np.arange(h).reshape(1, h, 1, 1)
         cs = np.arange(3).reshape(1, 1, 1, 3)
+        q16 = np.full((8, 8), 16, dtype=np.int64)
+
+        def jpeg_image(seed: int):
+            """(bytes, decoded) for a coefficient-domain JFIF stream;
+            the closed forms below are mirrored verbatim by the oracle
+            SQL (_JPEG_COEF_SQL in __spark_entry__.py)."""
+            coefs = []
+            for c in range(3):
+                m = np.zeros((8, 8), dtype=np.int64)
+                m[0, 0] = (seed + 5 * c) % 128 - 64
+                m[0, 1] = (seed // 4 + 3 * c) % 9 - 4
+                m[1, 0] = (seed // 16 + 7 * c) % 9 - 4
+                m[1, 1] = (seed // 64 + 11 * c) % 5 - 2
+                coefs.append(m)
+            blob = encode_from_coefficients(coefs, q16, q16)
+            planes = [idct8x8_int(coefs[c] * q16).astype(np.int64) for c in range(3)]
+            return blob, ycbcr_to_rgb_int(planes[0], planes[1], planes[2])
+
         for batch in batches:
             n = batch.num_rows
             if n == 0:
@@ -578,14 +611,19 @@ def _synthetic_images_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).astype(np.uint8)
             blobs, fmts, hashes = [], [], []
             for i in range(n):
-                img = px[i]
-                hashes.append(luma_ahash64(img))
-                if ks[i] % 2 == 0:
-                    blobs.append(encode_png(img))
-                    fmts.append("png")
-                else:
+                if ks[i] % 2 == 1:
+                    img = px[i]
                     blobs.append(img.tobytes())
                     fmts.append("raw")
+                elif ks[i] % 4 == 0:
+                    img = px[i]
+                    blobs.append(encode_png(img))
+                    fmts.append("png")
+                else:  # k % 4 == 2 — real baseline JPEG bytes
+                    blob, img = jpeg_image(int(seeds[i]))
+                    blobs.append(blob)
+                    fmts.append("jpeg")
+                hashes.append(luma_ahash64(img))
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array([f"img-{k}" for k in ks]),

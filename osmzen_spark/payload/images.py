@@ -4,12 +4,14 @@ Images ride through the engine as opaque binary columns with typed
 metadata (image_id, bytes, w, h, fmt, caption, phash — the driver
 input_hint schema). The Spark-side plumbing (schema, batching,
 mapInPandas shape, pass-through byte equality) is real and tested.
-Decoding: fmt='raw' (w*h*3 row-major RGB bytes) and fmt='png' (pure
+Decoding: fmt='raw' (w*h*3 row-major RGB bytes), fmt='png' (pure
 stdlib zlib/struct codec, all five scanline filters, 8-bit
-gray/RGB/RGBA) are fully implemented, so the PSNR>=40dB payload
-invariant runs on real encoded bytes; jpeg/webp remain STUBBED behind
-NotImplementedError because no codec libraries exist in this
-container.
+gray/RGB/RGBA) and fmt='jpeg' (pure stdlib+numpy BASELINE decoder —
+Huffman + integer IDCT + fixed-point color convert, payload/jpeg.py)
+are fully implemented, so the PSNR>=40dB payload invariant runs on
+real encoded bytes of the dominant real-world format; webp remains
+STUBBED behind NotImplementedError because no codec library exists in
+this container.
 """
 
 from __future__ import annotations
@@ -150,16 +152,20 @@ def encode_png(img: np.ndarray) -> bytes:
 
 
 def decode_image_batch(bytes_s: pd.Series, w_s: pd.Series, h_s: pd.Series, fmt_s: pd.Series) -> list[np.ndarray]:
-    """Decode a batch of images. fmt='raw' (w*h*3 RGB bytes) and
-    fmt='png' (stdlib codec below) decode here; jpeg/webp raise (STUB —
-    swap in a real decoder when Pillow/ffmpeg are available on the
-    cluster)."""
+    """Decode a batch of images. fmt='raw' (w*h*3 RGB bytes), fmt='png'
+    (stdlib codec below) and fmt='jpeg' (baseline decoder,
+    payload/jpeg.py) decode here; webp raises (STUB — swap in a real
+    decoder when Pillow/ffmpeg are available on the cluster)."""
+    from osmzen_spark.payload.jpeg import decode_baseline
+
     out = []
     for data, w, h, fmt in zip(bytes_s, w_s, h_s, fmt_s):
         if fmt == "raw":
             out.append(decode_raw(data, int(w), int(h)))
         elif fmt == "png":
             out.append(decode_png(bytes(data)))
+        elif fmt in ("jpeg", "jpg"):
+            out.append(decode_baseline(bytes(data)))
         else:
             raise NotImplementedError(
                 f"image codec {fmt!r} not available in this environment (stub)"

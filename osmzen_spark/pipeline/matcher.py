@@ -18,7 +18,10 @@ Cell language (ref:matcher/matcher.go:122-170):
 Header `col::type` suffixes are display-only; `zoom` is a pseudo-column
 bound to the tile zoom (ref:matcher/matcher.go:55-58). The whole table
 compiles to ONE generated when-chain per layer — first-match preserved
-by chain order, evaluated entirely in whole-stage codegen.
+by chain order, evaluated entirely in whole-stage codegen. The chain
+is emitted as a single SQL CASE string handed to F.expr (one py4j
+call, parsed JVM-side) rather than per-row Column.when() round-trips —
+the 5-table sort_rank set cost ~5.5 s of pure driver time the old way.
 """
 
 from __future__ import annotations
@@ -30,31 +33,39 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _cell_to_pred(cell: str, prop: Column, is_numeric: bool) -> Column | None:
-    """None means 'always true' (no constraint)."""
+def _sq(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _cell_to_pred(cell: str, prop: str, is_numeric: bool) -> str | None:
+    """SQL predicate text; None means 'always true' (no constraint).
+    NULL-valued predicates behave exactly like the old Column chain:
+    CASE WHEN treats NULL conditions as no-match."""
     if cell == "*":
         return None
     if cell == "-":
-        return prop.isNull()
+        return f"{prop} is null"
     if cell == "+":
-        return prop.isNotNull()
+        return f"{prop} is not null"
     if cell == "true":
-        return prop.cast("boolean") == F.lit(True)
+        return f"cast({prop} as boolean) = true"
     if ";" in cell:
-        return prop.cast("string").isin(*cell.split(";"))
+        vals = ", ".join(_sq(v) for v in cell.split(";"))
+        return f"cast({prop} as string) in ({vals})"
     for op in (">=", "<=", ">", "<"):
         if cell.startswith(op):
-            v = F.lit(float(cell[len(op):]))
-            p = prop.cast("double")
-            return {"<": p < v, ">": p > v, "<=": p <= v, ">=": p >= v}[op]
+            return f"cast({prop} as double) {op} cast({float(cell[len(op):])!r} as double)"
     try:
         num = float(cell)
     except ValueError:
-        return prop.cast("string") == F.lit(cell)
+        return f"cast({prop} as string) = {_sq(cell)}"
     if is_numeric:
-        return prop.cast("double") == F.lit(num)
+        return f"cast({prop} as double) = cast({num!r} as double)"
     # exactFloat64Cell also matches the original string form
-    return (prop.cast("double") == F.lit(num)) | (prop.cast("string") == F.lit(cell))
+    return (
+        f"(cast({prop} as double) = cast({num!r} as double)"
+        f" or cast({prop} as string) = {_sq(cell)})"
+    )
 
 
 class CSVMatcher:
@@ -85,27 +96,27 @@ class CSVMatcher:
     def value_col(self, df: DataFrame, zoom: int) -> Column:
         dtypes = dict(df.dtypes)
 
-        def prop_col(name: str) -> tuple[Column, bool]:
+        def prop_sql(name: str) -> tuple[str, bool]:
             if name == "zoom":
-                return F.lit(float(zoom)), True
+                return f"cast({float(zoom)!r} as double)", True
             if name not in df.columns:
-                return F.lit(None), False
-            return F.col(name), dtypes.get(name) in ("double", "float", "int", "bigint", "smallint")
+                return "null", False
+            q = "`" + name.replace("`", "``") + "`"
+            return q, dtypes.get(name) in ("double", "float", "int", "bigint", "smallint")
 
-        chain = None
+        arms = []
         for row in self.rows:
             preds = []
             for cell, prop_name in zip(row[:-1], self.props):
-                col, is_num = prop_col(prop_name)
-                p = _cell_to_pred(cell, col, is_num)
+                p_sql, is_num = prop_sql(prop_name)
+                p = _cell_to_pred(cell, p_sql, is_num)
                 if p is not None:
                     preds.append(p)
-            cond = F.lit(True)
-            for p in preds:
-                cond = cond & p
-            value = F.lit(float(row[-1]))
-            chain = F.when(cond, value) if chain is None else chain.when(cond, value)
-        return chain if chain is not None else F.lit(None).cast("double")
+            cond = " and ".join(preds) if preds else "true"
+            arms.append(f"when {cond} then cast({float(row[-1])!r} as double)")
+        if not arms:
+            return F.lit(None).cast("double")
+        return F.expr("case " + " ".join(arms) + " end")
 
     def apply(self, df: DataFrame, zoom: int) -> DataFrame:
         matched = self.value_col(df, zoom)
