@@ -1136,6 +1136,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _acon_values() -> str:
+    """(f, p, a) literals of the scaled-integer IDCT constants, taken
+    from the SAME idct_constants() the decoder uses — numpy and DuckDB
+    literally share literals."""
+    from osmzen_spark.payload.jpeg import idct_constants
+
+    a = idct_constants()
+    return ", ".join(f"({u}, {p}, {int(a[u][p])})" for u in range(2) for p in range(8))
+
+
 def _image_px_sql() -> str:
     """Shared CTE chain re-deriving EVERY decoded pixel of the
     synthetic payload table as relation px(k, x, y, c, v), all three
@@ -1156,12 +1166,7 @@ def _image_px_sql() -> str:
       value hash of every consumer (image_features, image_resize,
       image_channel_stats, payload_normalize_tile).
     """
-    from osmzen_spark.payload.jpeg import idct_constants
-
-    a = idct_constants()
-    acon_vals = ", ".join(
-        f"({u}, {p}, {int(a[u][p])})" for u in range(2) for p in range(8)
-    )
+    acon_vals = _acon_values()
     return f"""ks AS (
           SELECT DISTINCT l_orderkey * 8 + l_linenumber AS k,
                  ((l_orderkey * 8 + l_linenumber) * 2654435761) % 2147483648 AS seed
@@ -1941,18 +1946,66 @@ def oracle_sql() -> dict[str, str]:
           ON c.user_id = v.user_id AND v.ts <= c.ts
         ORDER BY click_event_id
     """
-    # audio decode path: every 16-bit sample re-derived from the
-    # closed-form pattern; sum / energy / zero-crossings are exact
-    # integers (lag NULL at i=0 falls to ELSE 0, matching the Arrow
-    # side's v[1:] vs v[:-1] comparison)
-    d["audio_features"] = """
-        WITH ks AS (
+    # audio decode path. pcm16 rows (even keys): every 16-bit sample
+    # re-derived from the closed-form pattern. adpcm rows (odd keys):
+    # the REAL IMA-ADPCM codec replayed as a recursive CTE — the
+    # encoder quantizes the pattern sample against the step-table state
+    # and the decoder update produces the next predictor; both are the
+    # same integer state machine (payload/av.py _adpcm_step), so the
+    # DECODED samples of the lossy codec are exact. Sum / energy /
+    # zero-crossings are exact integers either way.
+    from osmzen_spark.payload.av import ADPCM_STEPS
+
+    adpcm_steps = ", ".join(f"({i}, {int(s)})" for i, s in enumerate(ADPCM_STEPS))
+    # encoder+decoder one-step formulas, expanded (SQL has no local
+    # bindings inside a recursive term; the repeated subtrees are
+    # byte-identical so the optimizer CSEs them)
+    _s_i = "((a.seed + 7919*(a.i+1)) % 65536 - 32768)"
+    _diff = f"({_s_i} - a.pred)"
+    _ad = f"(CASE WHEN {_diff} < 0 THEN -{_diff} ELSE {_diff} END)"
+    _b2 = f"({_ad} >= st.step)"
+    _ad2 = f"({_ad} - CASE WHEN {_b2} THEN st.step ELSE 0 END)"
+    _b1 = f"({_ad2} >= st.step // 2)"
+    _ad3 = f"({_ad2} - CASE WHEN {_b1} THEN st.step // 2 ELSE 0 END)"
+    _b0 = f"({_ad3} >= st.step // 4)"
+    _vpd = (
+        f"(st.step // 8 + CASE WHEN {_b2} THEN st.step ELSE 0 END"
+        f" + CASE WHEN {_b1} THEN st.step // 2 ELSE 0 END"
+        f" + CASE WHEN {_b0} THEN st.step // 4 ELSE 0 END)"
+    )
+    _newp = (
+        f"GREATEST(-32768, LEAST(32767, a.pred +"
+        f" CASE WHEN {_diff} < 0 THEN -{_vpd} ELSE {_vpd} END))"
+    )
+    _delta = (
+        f"(CASE WHEN {_b2} THEN 4 ELSE 0 END + CASE WHEN {_b1} THEN 2 ELSE 0 END"
+        f" + CASE WHEN {_b0} THEN 1 ELSE 0 END)"
+    )
+    _newi = (
+        f"GREATEST(0, LEAST(88, a.idx + CASE {_delta}"
+        f" WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6 WHEN 7 THEN 8 ELSE -1 END))"
+    )
+    d["audio_features"] = f"""
+        WITH RECURSIVE ks AS (
           SELECT DISTINCT o_orderkey AS k,
                  (o_orderkey * 2654435761) % 2147483648 AS seed
           FROM orders
-        ), samp AS (
+        ), pcm AS (
           SELECT k, i, ((seed + 7919*i) % 65536) - 32768 AS v
           FROM ks, generate_series(0, 63) ti(i)
+          WHERE k % 2 = 0
+        ), adsteps(si, step) AS (
+          VALUES {adpcm_steps}
+        ), arec AS (
+          SELECT k, seed, -1 AS i, 0 AS pred, 0 AS idx FROM ks WHERE k % 2 = 1
+          UNION ALL
+          SELECT a.k, a.seed, a.i + 1, {_newp} AS pred, {_newi} AS idx
+          FROM arec a JOIN adsteps st ON st.si = a.idx
+          WHERE a.i < 63
+        ), samp AS (
+          SELECT k, i, v FROM pcm
+          UNION ALL
+          SELECT k, i, pred AS v FROM arec WHERE i >= 0
         ), lagd AS (
           SELECT k, i, v, lag(v) OVER (PARTITION BY k ORDER BY i) AS pv
           FROM samp
@@ -1966,19 +2019,69 @@ def oracle_sql() -> dict[str, str]:
         FROM lagd GROUP BY k ORDER BY audio_id
     """
     # video keyframe sampling: sampled frames (0, 2, 4 of 6) re-derived
-    # pixel-by-pixel; the full hex dump checks byte layout exactly
-    d["video_frame_sample"] = """
+    # pixel-by-pixel; the full hex dump checks byte layout exactly.
+    # rawv rows (even keys): the arithmetic pattern. mjpeg rows (odd
+    # keys): REAL Motion JPEG — per-frame coefficient closed forms
+    # through the same integer IDCT + fixed-point color chain as the
+    # image jpeg oracle (shared acon literals).
+    d["video_frame_sample"] = f"""
         WITH ks AS (
           SELECT DISTINCT o_orderkey AS k,
                  (o_orderkey * 2654435761) % 2147483648 AS seed
           FROM orders
-        ), px AS (
+        ), rawpx AS (
           SELECT k, f, x, y, c, (seed + 7*x + 13*y + 29*c + 31*f) % 256 AS v
           FROM ks,
                (VALUES (0), (2), (4)) tf(f),
                generate_series(0, 7) tx(x),
                generate_series(0, 7) ty(y),
                generate_series(0, 2) tc(c)
+          WHERE k % 2 = 0
+        ), vjco AS (
+          SELECT k, f, ch, u, q,
+                 16 * (CASE
+                   WHEN u = 0 AND q = 0 THEN (seed + 5*ch + 17*f) % 128 - 64
+                   WHEN u = 0 AND q = 1 THEN (seed // 4 + 3*ch + 7*f) % 9 - 4
+                   WHEN u = 1 AND q = 0 THEN (seed // 16 + 7*ch + 11*f) % 9 - 4
+                   ELSE (seed // 64 + 11*ch + 13*f) % 5 - 2 END) AS s
+          FROM ks,
+               (VALUES (0), (2), (4)) tf(f),
+               generate_series(0, 1) tu(u),
+               generate_series(0, 1) tq(q),
+               generate_series(0, 2) tch(ch)
+          WHERE k % 2 = 1
+        ), acon(fq, p, a) AS (
+          VALUES {_acon_values()}
+        ), vycc AS (
+          SELECT vjco.k, vjco.f, vjco.ch, ar.p AS r, ac.p AS cc,
+                 GREATEST(0, LEAST(255,
+                   CAST(FLOOR((SUM(ar.a * ac.a * vjco.s) + 2097152) / 4194304.0) AS BIGINT)
+                   + 128)) AS val
+          FROM vjco
+          JOIN acon ar ON ar.fq = vjco.u
+          JOIN acon ac ON ac.fq = vjco.q
+          GROUP BY vjco.k, vjco.f, vjco.ch, ar.p, ac.p
+        ), vyw AS (
+          SELECT k, f, r, cc,
+                 MAX(CASE WHEN ch = 0 THEN val END) AS yy,
+                 MAX(CASE WHEN ch = 1 THEN val END) - 128 AS cb,
+                 MAX(CASE WHEN ch = 2 THEN val END) - 128 AS cr
+          FROM vycc GROUP BY k, f, r, cc
+        ), vjpx AS (
+          SELECT k, f, cc AS x, r AS y, ci.c AS c,
+                 CASE ci.c
+                   WHEN 0 THEN GREATEST(0, LEAST(255,
+                     yy + CAST(FLOOR((91881*cr + 32768) / 65536.0) AS BIGINT)))
+                   WHEN 1 THEN GREATEST(0, LEAST(255,
+                     yy - CAST(FLOOR((22554*cb + 46802*cr + 32768) / 65536.0) AS BIGINT)))
+                   ELSE GREATEST(0, LEAST(255,
+                     yy + CAST(FLOOR((116130*cb + 32768) / 65536.0) AS BIGINT)))
+                 END AS v
+          FROM vyw, (VALUES (0), (1), (2)) ci(c)
+        ), px AS (
+          SELECT k, f, x, y, c, v FROM rawpx
+          UNION ALL
+          SELECT k, f, x, y, c, v FROM vjpx
         )
         SELECT 'vid-' || k AS video_id, CAST(f AS INT) AS frame_idx,
                upper(string_agg(lpad(to_hex(v), 2, '0'), '' ORDER BY y, x, c)) AS frame_hex,
