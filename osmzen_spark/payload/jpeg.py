@@ -140,14 +140,19 @@ def idct_constants() -> np.ndarray:
 
 
 _A = idct_constants()
+# flattened basis: _M[x*8+y, u*8+v] = A[u][x] * A[v][y]; one 64x64
+# int64 matmul per block replaces the einsum (same integer products,
+# same exact sums — integer addition is associative; ~10x less
+# per-block overhead in the per-image decode loop)
+_M = np.einsum("ux,vy->xyuv", _A, _A).reshape(64, 64)
 
 
 def idct8x8_int(coef: np.ndarray) -> np.ndarray:
     """Integer 8x8 IDCT of DEQUANTIZED coefficients -> uint8 samples.
     pixel(x,y) = clamp(((sum A[u][x]A[v][y]S[u,v] + 2^21) >> 22) + 128).
-    np.einsum in int64; |sum| stays far below 2^63 for any baseline
+    int64 throughout; |sum| stays far below 2^63 for any baseline
     stream (|S| <= 255*2040, |A| <= 2048)."""
-    s = np.einsum("ux,vy,uv->xy", _A, _A, coef.astype(np.int64))
+    s = (_M @ coef.astype(np.int64).reshape(64)).reshape(8, 8)
     return np.clip(((s + _IDCT_HALF) >> _IDCT_SHIFT) + 128, 0, 255).astype(np.uint8)
 
 
@@ -164,41 +169,41 @@ class _BitReader:
         self.acc = 0
         self.nbits = 0
 
-    def _fill(self):
+    def _ensure(self, n: int):
         d = self.data
-        while self.nbits <= 24:
+        while self.nbits < n:
             if self.pos >= len(d):
-                self.acc = (self.acc << 8) | 0  # pad past EOI (spec: 1s or 0s both fine for trailing pad)
-                self.nbits += 8
-                continue
-            b = d[self.pos]
-            if b == 0xFF:
-                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
-                if nxt == 0x00:
-                    self.pos += 2
-                elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
-                    # restart/EOI marker: stop feeding real bits
-                    self.acc = (self.acc << 8) | 0
-                    self.nbits += 8
-                    continue
-                else:
-                    raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+                b = 0  # pad past EOI (spec: trailing pad bits are don't-care)
             else:
-                self.pos += 1
-            self.acc = (self.acc << 8) | b
+                b = d[self.pos]
+                if b == 0xFF:
+                    nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                    if nxt == 0x00:
+                        self.pos += 2
+                    elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
+                        b = 0  # restart/EOI marker: stop feeding real bits
+                    else:
+                        raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+                else:
+                    self.pos += 1
+            self.acc = ((self.acc & ((1 << self.nbits) - 1)) << 8) | b
             self.nbits += 8
 
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+    def peek16(self) -> int:
+        if self.nbits < 16:
+            self._ensure(16)
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+    def skip(self, n: int):
+        self.nbits -= n
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._ensure(n)
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
 
     def sync_restart(self):
         """Skip to just past the next RSTn marker and reset bit state."""
@@ -220,28 +225,48 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def _build_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(code_length, code) -> symbol, canonical Huffman (T.81 C.2)."""
-    table = {}
-    code = 0
-    k = 0
-    for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[k]
-            code += 1
-            k += 1
-        code <<= 1
-    return table
+class _HuffLUT:
+    """Flat 16-bit-prefix decode table: one peek + one lookup per
+    symbol instead of a bit-by-bit tree walk. Built once per distinct
+    (bits, vals) pair and cached — every frame of a corpus that shares
+    Huffman tables (e.g. all Annex-K streams) reuses one table."""
+
+    __slots__ = ("lens", "syms")
+
+    def __init__(self, bits: list[int], vals: list[int]):
+        self.lens = np.zeros(65536, dtype=np.uint8)
+        self.syms = np.zeros(65536, dtype=np.int16)
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                start = code << (16 - length)
+                end = start + (1 << (16 - length))
+                self.lens[start:end] = length
+                self.syms[start:end] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
 
 
-def _decode_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code in scan")
+_LUT_CACHE: dict = {}
+
+
+def _build_decode_table(bits: list[int], vals: list[int]) -> _HuffLUT:
+    key = (tuple(bits), tuple(vals))
+    t = _LUT_CACHE.get(key)
+    if t is None:
+        t = _LUT_CACHE[key] = _HuffLUT(bits, vals)
+    return t
+
+
+def _decode_symbol(br: _BitReader, table: _HuffLUT) -> int:
+    p = br.peek16()
+    ln = table.lens[p]
+    if ln == 0:
+        raise ValueError("invalid Huffman code in scan")
+    br.skip(int(ln))
+    return int(table.syms[p])
 
 
 def decode_baseline(data: bytes) -> np.ndarray:
