@@ -681,6 +681,32 @@ def q_keep_n_features(spark, sf_dir):
     ).orderBy("tile_x", "tile_y", "min_zoom", "id")
 
 
+def q_mvt_tiles(spark, sf_dir):
+    """MVT sink (sinks/mvt.py): normalized buildings -> one Mapbox
+    Vector Tile blob per z10 tile (applyInPandas on the engine's
+    natural tile key — ONE shuffle, local protobuf encode). The blob
+    bytes are pytest-verified by a byte-level decoder round-trip
+    (tests/test_mvt.py); the driver oracle re-derives the per-tile
+    feature COUNTS through the full rule chain, so a dropped/dup
+    feature, a tile-assignment bug, or a group-explosion bug breaks
+    the hash."""
+    from osmzen_spark.datagen import synthetic_elements
+    from osmzen_spark.pipeline.normalize import NormalizeEngine
+    from osmzen_spark.sinks.mvt import mvt_tiles
+
+    elements = synthetic_elements(spark, sf_dir)
+    engine = NormalizeEngine()
+    layers = engine.process(
+        elements, zoom=20, tile_zoom=10, layer_names=["buildings", "pois"]
+    )
+    b = layers["buildings"].withColumn("zen_layer", F.lit("buildings"))
+    return (
+        mvt_tiles(b, zoom=10, property_cols=("kind",))
+        .select("tile_x", "tile_y", "n_features")
+        .orderBy("tile_x", "tile_y")
+    )
+
+
 def q_payload_normalize_tile(spark, sf_dir):
     """The target metric's literal shape (BASELINE.json): an OSM-tagged
     image+caption table, normalized and tile-assigned, with the payload
@@ -1119,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assemble_buildings": q_assemble_buildings,
         "payload_normalize_tile": q_payload_normalize_tile,
         "keep_n_features": q_keep_n_features,
+        "mvt_tiles": q_mvt_tiles,
         "image_features": q_image_features,
         "sessionize": q_sessionize,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1659,6 +1686,16 @@ def oracle_sql() -> dict[str, str]:
     # postprocess.keep_n_features; duplicate label rows (copies=2) are
     # identical in every ranked column, so the cut multiset is
     # order-independent
+    # MVT sink: per-tile feature counts over the same full rule-chain
+    # re-derivation (blob bytes are pytest round-trip territory; the
+    # count catches drop/dup/assignment bugs at the driver gate)
+    d["mvt_tiles"] = f"""
+        WITH nb AS ({d["normalize_buildings"]})
+        SELECT tile_x, tile_y, CAST(COUNT(*) AS INT) AS n_features
+        FROM nb
+        GROUP BY tile_x, tile_y
+        ORDER BY tile_x, tile_y
+    """
     d["keep_n_features"] = f"""
         WITH nb AS ({d["normalize_buildings"]})
         SELECT id, kind, min_zoom, tile_x, tile_y
