@@ -707,6 +707,74 @@ def q_mvt_tiles(spark, sf_dir):
     )
 
 
+def q_geojson_roundtrip(spark, sf_dir):
+    """GeoJSON sink+source (sources/geojson.py, the reference's
+    user-facing format, ref:process.go:22): customer points -> Feature
+    lines (pure-Column JSON build, shortest-round-trip double repr) ->
+    JVM-side re-parse (get_json_object + typed from_json). The oracle
+    is the identity projection, so any serialization or parse defect
+    (lost precision, wrong field, dropped row) breaks the hash."""
+    from osmzen_spark.sources.geojson import feature_json, parse_geojson_features
+
+    pts = _customer_points(spark, sf_dir)
+    feats = pts.select(
+        F.lit("node").alias("element_type"),
+        F.col("id").alias("element_id"),
+        F.create_map(F.lit("kind"), F.lit("customer")).alias("tags"),
+        F.lit("Point").alias("geom_type"),
+        F.struct(
+            F.array(F.col("lon")).alias("xs"),
+            F.array(F.col("lat")).alias("ys"),
+            F.array(F.lit(1)).cast("array<int>").alias("ring_lens"),
+            F.array(F.lit(0)).cast("array<int>").alias("ring_roles"),
+        ).alias("geometry"),
+    )
+    parsed = parse_geojson_features(feature_json(feats))
+    return parsed.select(
+        F.col("element_id").alias("id"),
+        F.element_at(F.col("tags"), F.lit("kind")).alias("kind"),
+        F.element_at(F.col("geometry.xs"), 1).alias("lon"),
+        F.element_at(F.col("geometry.ys"), 1).alias("lat"),
+    ).orderBy("id")
+
+
+def q_osmxml_roundtrip(spark, sf_dir):
+    """OSM XML source (sources/osmxml.py, the reference's raw-input
+    format, ref:benchmarks_test.go:209): customer points serialized to
+    OSM XML documents (one per batch — the file-as-parallelism-unit
+    contract) and re-parsed by the distributed iterparse reader. The
+    oracle is the identity projection: a numeric, tag, or id parse
+    defect breaks the hash. (The reference's own z16 fixture parse is
+    pytest-verified with exact element counts, tests/test_osmxml.py.)"""
+    import pandas as pd
+
+    from osmzen_spark.sources.osmxml import parse_osm_xml_blobs
+
+    pts = _customer_points(spark, sf_dir)
+
+    def to_xml(batches):
+        for pdf in batches:
+            parts = ['<osm version="0.6">']
+            for i, lo, la in zip(
+                pdf["id"].tolist(), pdf["lon"].tolist(), pdf["lat"].tolist()
+            ):
+                parts.append(
+                    f'<node id="{int(i)}" lon="{lo!r}" lat="{la!r}">'
+                    f'<tag k="kind" v="customer"/></node>'
+                )
+            parts.append("</osm>")
+            yield pd.DataFrame({"content": ["".join(parts)]})
+
+    blobs = pts.mapInPandas(to_xml, "content string")
+    parsed = parse_osm_xml_blobs(blobs)
+    return parsed.select(
+        F.col("element_id").alias("id"),
+        F.element_at(F.col("tags"), F.lit("kind")).alias("kind"),
+        "lon",
+        "lat",
+    ).orderBy("id")
+
+
 def q_payload_normalize_tile(spark, sf_dir):
     """The target metric's literal shape (BASELINE.json): an OSM-tagged
     image+caption table, normalized and tile-assigned, with the payload
@@ -1146,6 +1214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_normalize_tile": q_payload_normalize_tile,
         "keep_n_features": q_keep_n_features,
         "mvt_tiles": q_mvt_tiles,
+        "geojson_roundtrip": q_geojson_roundtrip,
+        "osmxml_roundtrip": q_osmxml_roundtrip,
         "image_features": q_image_features,
         "sessionize": q_sessionize,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1705,6 +1775,14 @@ def oracle_sql() -> dict[str, str]:
         ) <= 5
         ORDER BY tile_x, tile_y, min_zoom, id
     """
+    # GeoJSON / OSM XML round-trips: the sources serialize and re-parse
+    # the identical points, so the oracle is the identity projection —
+    # any precision loss or field mix-up breaks the value hash
+    d["geojson_roundtrip"] = f"""
+        SELECT id, 'customer' AS kind, lon, lat
+        FROM ({_CUSTOMER_POINTS_SQL}) ORDER BY id
+    """
+    d["osmxml_roundtrip"] = d["geojson_roundtrip"]
     # payload ride-through: the nb CTE is the complete rule-chain
     # re-derivation above; bits re-derives the 64-bit luma ahash from
     # the arithmetic pixel pattern (identical CTEs to image_features);

@@ -122,6 +122,20 @@ def cell_id(z: int, x: int, y: int) -> int:
     return (z << 58) | morton(x, y)
 
 
+def tile_bound(z: int, x: int, y: int) -> tuple[float, float, float, float]:
+    """(minlon, minlat, maxlon, maxlat) of Web-Mercator tile z/x/y —
+    the inverse of tile_x_col/tile_y_col (maptile.Tile.Bound analog,
+    used by the reference's full-tile entry point)."""
+    import math
+
+    n = float(1 << z)
+
+    def lat(yy: float) -> float:
+        return math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * yy / n))))
+
+    return (x / n * 360.0 - 180.0, lat(y + 1), (x + 1) / n * 360.0 - 180.0, lat(y))
+
+
 def neighbor_offsets(ring: int) -> list[tuple[int, int]]:
     """(dx, dy) offsets for all cells within Chebyshev distance ``ring``
     (the (2r+1)^2 block, including center). Used for cell-ring kNN
