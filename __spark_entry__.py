@@ -775,6 +775,36 @@ def q_osmxml_roundtrip(spark, sf_dir):
     ).orderBy("id")
 
 
+def q_osmpbf_roundtrip(spark, sf_dir):
+    """OSM PBF source (sources/osmpbf.py — the planet-scale input
+    format): customer points encoded into a real .osm.pbf (dense
+    nodes, delta coding, zlib blobs) and read back through the
+    blob-parallel reader (driver blob-index scan -> per-task range
+    read -> vectorized varint decode). The oracle re-applies PBF's
+    100-nanodegree coordinate quantization (1e-9*(100*ROUND(x*1e9/100)))
+    and requires exact values otherwise, so a varint, delta, string
+    table, or framing defect breaks the hash."""
+    import os
+    import tempfile
+
+    from osmzen_spark.sources.osmpbf import encode_pbf, parse_osm_pbf
+
+    rows = _customer_points(spark, sf_dir).collect()
+    nodes = [(r["id"], r["lon"], r["lat"], {"kind": "customer"}) for r in rows]
+    path = os.path.join(
+        tempfile.gettempdir(), f"osmzen_pbf_roundtrip_{len(nodes)}.osm.pbf"
+    )
+    with open(path, "wb") as f:
+        f.write(encode_pbf(nodes, [], [], max_group=500))
+    parsed = parse_osm_pbf(spark, path)
+    return parsed.select(
+        F.col("element_id").alias("id"),
+        F.element_at(F.col("tags"), F.lit("kind")).alias("kind"),
+        "lon",
+        "lat",
+    ).orderBy("id")
+
+
 def q_payload_normalize_tile(spark, sf_dir):
     """The target metric's literal shape (BASELINE.json): an OSM-tagged
     image+caption table, normalized and tile-assigned, with the payload
@@ -1216,6 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mvt_tiles": q_mvt_tiles,
         "geojson_roundtrip": q_geojson_roundtrip,
         "osmxml_roundtrip": q_osmxml_roundtrip,
+        "osmpbf_roundtrip": q_osmpbf_roundtrip,
         "image_features": q_image_features,
         "sessionize": q_sessionize,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1783,6 +1814,15 @@ def oracle_sql() -> dict[str, str]:
         FROM ({_CUSTOMER_POINTS_SQL}) ORDER BY id
     """
     d["osmxml_roundtrip"] = d["geojson_roundtrip"]
+    # PBF stores coordinates on the 100-nanodegree grid: the oracle
+    # replays the encoder's quantization (round to granularity=100
+    # nanodegrees, then the decoder's exact 1e-9*(100*raw) float math)
+    d["osmpbf_roundtrip"] = f"""
+        SELECT id, 'customer' AS kind,
+               1e-9*(100*ROUND(lon*1e9/100)) AS lon,
+               1e-9*(100*ROUND(lat*1e9/100)) AS lat
+        FROM ({_CUSTOMER_POINTS_SQL}) ORDER BY id
+    """
     # payload ride-through: the nb CTE is the complete rule-chain
     # re-derivation above; bits re-derives the 64-bit luma ahash from
     # the arithmetic pixel pattern (identical CTEs to image_features);

@@ -150,6 +150,11 @@ def run_operator_bench(spark, sf_dir):
         "video_frame_sample",
         "assemble_buildings",
         "payload_normalize_tile",
+        "keep_n_features",
+        "mvt_tiles",
+        "geojson_roundtrip",
+        "osmxml_roundtrip",
+        "osmpbf_roundtrip",
     ):
         t0 = time.time()
         _noop(qs[name](spark, sf_dir))

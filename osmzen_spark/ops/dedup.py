@@ -178,28 +178,73 @@ def shingle_explode(
     split→transform→slice→concat→hash chain into every consumer
     (explode adds an implicit size>0 filter, joins duplicate the
     subtree), and higher-order functions run interpreted — measured
-    4x recomputation and ~1 ms/row at sf0.1. Native Python string ops
-    over Arrow batches do the same work in microseconds, and callers
-    hash the one exploded string JVM-side (codegen) when they need a
+    4x recomputation and ~1 ms/row at sf0.1. Native string ops over
+    Arrow batches do the same work in microseconds, and callers hash
+    the one exploded string JVM-side (codegen) when they need a
     narrow shuffle key. Semantics identical to `_shingles`: lower,
     trim, split on whitespace runs, one short shingle when the text
-    has fewer than k words, distinct per document."""
+    has fewer than k words, distinct per document, emitted in sorted
+    order per doc.
+
+    The inner loop is index arithmetic, not per-document Python: the
+    batch's words flatten into ONE object array, every shingle's k
+    word positions come from vectorized offset math, concatenation is
+    k-1 whole-array adds, and per-doc distinct + counts are a hashed
+    drop_duplicates + bincount (parity-tested against the scalar
+    definition in tests/test_ops.py)."""
+    import numpy as np
     import pandas as pd
+
+    empty = pd.DataFrame(
+        {"id": pd.Series(dtype="int64"), "n": pd.Series(dtype="int32"),
+         "g": pd.Series(dtype="object")}
+    )
 
     def gen(batches):
         for pdf in batches:
-            ids: list = []
-            ns: list = []
-            gs: list = []
-            for doc_id, text in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
-                if text is None:
-                    continue  # matches explode(NULL) dropping the row
-                ws = str(text).strip().lower().split()
-                shs = sorted({" ".join(ws[j : j + k]) for j in range(max(len(ws) - k, 0) + 1)})
-                ids.extend([doc_id] * len(shs))
-                ns.extend([len(shs)] * len(shs))
-                gs.extend(shs)
-            yield pd.DataFrame({"id": ids, "n": ns, "g": gs})
+            s = pdf[text_col]
+            mask = s.notna().to_numpy()  # explode(NULL) drops the row
+            ids = pdf[id_col].to_numpy()[mask]
+            ndocs = len(ids)
+            if ndocs == 0:
+                yield empty
+                continue
+            words = s[mask].astype(str).str.lower().str.split()
+            lens = words.str.len().to_numpy(dtype=np.int64)
+            total_words = int(lens.sum())
+            from itertools import chain
+
+            flat = np.fromiter(
+                chain.from_iterable(words), dtype=object, count=total_words
+            )
+            offsets = np.concatenate(([0], np.cumsum(lens)))
+            m = np.maximum(lens - k, 0) + 1  # shingles per doc (pre-distinct)
+            tot = int(m.sum())
+            doc_idx = np.repeat(np.arange(ndocs), m)
+            within = np.arange(tot) - np.repeat(np.cumsum(m) - m, m)
+            start = offsets[:-1][doc_idx] + within
+            sh = np.empty(tot, dtype=object)
+            ne = lens[doc_idx] > 0  # zero-word docs shingle to ""
+            sh[~ne] = ""
+            st = start[ne]
+            en = offsets[1:][doc_idx][ne]
+            cur = flat[st]  # fancy indexing -> fresh array, safe to mutate
+            for j in range(1, k):
+                v = st + j < en  # short docs: shingle = all words
+                if not v.any():
+                    break
+                cur[v] = cur[v] + " "
+                cur[v] = cur[v] + flat[st[v] + j]
+            sh[ne] = cur
+            dd = pd.DataFrame({"i": doc_idx, "g": sh}).drop_duplicates()
+            i = dd["i"].to_numpy()
+            g = dd["g"].to_numpy()
+            order = np.lexsort((g, i))
+            i, g = i[order], g[order]
+            counts = np.bincount(i, minlength=ndocs)
+            yield pd.DataFrame(
+                {"id": ids[i], "n": counts[i].astype(np.int32), "g": g}
+            )
 
     return df.select(F.col(id_col).alias(id_col), text_col).mapInPandas(
         gen, "id long, n int, g string"

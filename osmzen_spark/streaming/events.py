@@ -70,7 +70,9 @@ _SESSION_STATE_SCHEMA = T.StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream over the events parquet. The schema must be
     provided explicitly (a streaming source cannot infer), and the
     source must be a DIRECTORY (FileStreamSource lists it for new
@@ -94,7 +96,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not os.path.exists(link):
             os.symlink(src, link)
         path = stage
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        # split the availableNow drain into several micro-batches so
+        # update-mode incremental emission is actually exercised
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(path)
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
@@ -345,3 +352,74 @@ def stream_tile_counts(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def stream_tile_counts_update(
+    spark: SparkSession,
+    sf_dir: str,
+    z: int = 6,
+    watermark: str = "100000 hours",
+    max_files_per_trigger: int | None = 1,
+) -> tuple[DataFrame, int]:
+    """The UNBOUNDED deployment shape of stream_tile_counts: the same
+    watermarked (window, tile) aggregation in outputMode('update'),
+    landed by foreachBatch into a last-write-wins upsert keyed on
+    (hour, tile_x, tile_y). In update mode the watermark genuinely
+    bounds the state store — windows older than (max event time -
+    watermark) are finalized, emitted one last time, and evicted — so
+    state is O(open windows x active tiles) forever, while the upsert
+    sink keeps the final count per key. maxFilesPerTrigger splits the
+    availableNow drain into several micro-batches so the incremental
+    update/upsert path is actually exercised (one batch would
+    degenerate to append-like behavior).
+
+    Returns (upserted table as a DataFrame, number of micro-batches).
+    With a watermark longer than the fixture's time span nothing is
+    dropped as late and the upsert result equals tile_counts_batch
+    exactly (tests/test_streaming.py); in production the watermark is
+    the late-data SLA and later-than-SLA events are dropped — the
+    standard streaming contract, not a defect of this operator.
+    """
+    from osmzen_spark.tiling.cells import tile_x_col, tile_y_col
+
+    events = _event_points(
+        read_events_stream(spark, sf_dir, max_files_per_trigger=max_files_per_trigger)
+    ).withWatermark("ts", watermark)
+    agg = (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("win"),
+            tile_x_col(F.col("lon"), z).alias("tile_x"),
+            tile_y_col(F.col("lat"), z).alias("tile_y"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "tile_x",
+            "tile_y",
+            "n_events",
+        )
+    )
+
+    sink: dict[tuple, int] = {}
+    batches: list[int] = []
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        # per-key last write wins; micro-batches are tile-count sized
+        # (bounded by open windows x tiles), so the collect is the
+        # sink adapter, not a data move
+        batches.append(batch_id)
+        for r in batch_df.collect():
+            sink[(r["hour"], r["tile_x"], r["tile_y"])] = r["n_events"]
+
+    q = (
+        agg.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [(h, x, y, n) for (h, x, y), n in sink.items()]
+    out = spark.createDataFrame(
+        rows, "hour string, tile_x long, tile_y long, n_events long"
+    )
+    return out, len(batches)

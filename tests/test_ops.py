@@ -478,3 +478,49 @@ def test_partial_topk_batch_matches_full_sort():
             sl = slice(qi * take_eff, (qi + 1) * take_eff)
             assert np.array_equal(got_p[sl], pid[ref_rows]), (n, nq, take, qi)
             assert np.array_equal(got_s[sl], scores[ref_rows, qi])
+
+
+def test_shingle_explode_matches_scalar_definition(spark):
+    """The vectorized batch shingler must equal the scalar definition
+    (lower, whitespace-run split, one short shingle when < k words,
+    distinct per doc, sorted) row for row — over edge cases and a
+    seeded random corpus."""
+    import random
+
+    from osmzen_spark.ops.dedup import shingle_explode
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, ""),                       # zero words -> one "" shingle
+        (3, "   "),                    # whitespace only -> same
+        (4, "solo"),                   # < k words -> whole doc
+        (5, "two words"),
+        (6, "exactly three words"),
+        (7, "a a a a a a"),            # heavy duplicate shingles
+        (8, "MiXeD CaSe TeXt MiXeD CaSe TeXt"),
+        (9, None),                     # dropped like explode(NULL)
+        (10, "tabs\tand\nnewlines   collapse  into runs"),
+        (11, "ünïcödé wörds ünïcödé wörds ünïcödé"),
+    ]
+    rng = random.Random(42)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    for i in range(12, 40):
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 25)))))
+
+    for k in (1, 3, 5):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = [
+            (r["id"], r["n"], r["g"])
+            for r in shingle_explode(df, "text", "doc_id", k)
+            .orderBy("id", "g")
+            .collect()
+        ]
+        want = []
+        for doc_id, text in rows:
+            if text is None:
+                continue
+            ws = str(text).strip().lower().split()
+            shs = sorted({" ".join(ws[j : j + k]) for j in range(max(len(ws) - k, 0) + 1)})
+            want.extend((doc_id, len(shs), g) for g in shs)
+        want.sort()
+        assert got == want, f"k={k}"

@@ -100,3 +100,23 @@ def test_stream_tile_counts_equals_batch(spark, events):
     assert len(got) == len(got_map), "duplicate (hour, tile) rows"
     assert got_map == want_map
     assert len(want_map) > 50, "degenerate: tiles not spread"
+
+
+def test_stream_tile_counts_update_mode(spark, events):
+    """Update-mode + foreachBatch upsert (the unbounded deployment
+    shape) over several micro-batches equals the batch rollup."""
+    from pyspark.sql import functions as F
+
+    from osmzen_spark.streaming.events import (
+        stream_tile_counts_update,
+        tile_counts_batch,
+    )
+
+    got, n_batches = stream_tile_counts_update(spark, SF_DIR, z=6)
+    want = tile_counts_batch(
+        events.withColumn("ts", F.col("ts").cast("timestamp")), z=6
+    )
+    a = {(r["hour"], r["tile_x"], r["tile_y"]): r["n_events"] for r in got.collect()}
+    b = {(r["hour"], r["tile_x"], r["tile_y"]): r["n_events"] for r in want.collect()}
+    assert a == b
+    assert n_batches >= 1
