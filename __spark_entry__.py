@@ -359,10 +359,10 @@ def q_simhash(spark, sf_dir):
     bits (hamming via xor+bit_count). DuckDB re-derives the pair set
     from raw shingle strings and asserts close=true — a fingerprint
     whose locality property broke would flip the bit and the hash."""
-    from osmzen_spark.ops.dedup import _shingles, with_simhash
+    from osmzen_spark.ops.dedup import _shingles, simhash_frame
 
     docs = _read(spark, sf_dir, "documents")
-    fp = with_simhash(docs, "text", bits=64, shingle_k=2).select("doc_id", "simhash")
+    fp = simhash_frame(docs, "text", "doc_id", bits=64, shingle_k=2)
     sh = docs.select(
         F.col("doc_id").alias("id"),
         F.array_distinct(_shingles(F.col("text"), 5)).alias("sh"),

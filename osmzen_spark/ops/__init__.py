@@ -2,6 +2,7 @@ from osmzen_spark.ops.dedup import (  # noqa: F401
     exact_dedup,
     minhash_dedup_pairs,
     simhash_col,
+    simhash_frame,
     with_simhash,
     ngram_jaccard_pairs,
 )

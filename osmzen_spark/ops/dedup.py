@@ -106,12 +106,26 @@ def minhash_dedup_pairs(
     from full signatures.
     """
     rows_per_band = num_hashes // bands
-    # materialize shingles, then the signature, so each is computed once
+    # Signature via explode + num_hashes MIN aggregates: one Arrow
+    # shingle pass, then everything is whole-stage-codegen JVM work
+    # with map-side partial mins — no interpreted higher-order
+    # functions anywhere (the previous array_min(transform(...)) chain
+    # ran interpreted num_hashes times per row). Values are IDENTICAL
+    # to the Column-API minhash_signature: the element hash is the
+    # same xxhash64(shingle string), the per-function hash the same
+    # xxhash64(seed, element), and min over distinct shingles equals
+    # min over the positional (duplicate-keeping) shingle list.
+    ex = shingle_explode(df, text_col, id_col, shingle_k).select(
+        "id", F.xxhash64("g").alias("__gh")
+    )
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("__gh"))).alias(f"__s{i}")
+        for i in range(num_hashes)
+    ]
     base = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
-        .withColumn("__sh", _shingles(F.col("__t"), shingle_k))
-        .withColumn("sig", minhash_signature_from(F.col("__sh"), num_hashes))
-        .select("id", "sig")
+        ex.groupBy("id")
+        .agg(*mins)
+        .select("id", F.array(*[f"__s{i}" for i in range(num_hashes)]).alias("sig"))
     )
     # one band key per contiguous signature slab, built at compile time
     band_keys = F.array(
@@ -160,7 +174,10 @@ def simhash_col(text: Column, bits: int = 64, shingle_k: int = 2) -> Column:
 
 
 def with_simhash(df: DataFrame, text_col: str = "text", bits: int = 64, shingle_k: int = 2) -> DataFrame:
-    """df + `simhash` column, with the shingle array materialized once."""
+    """df + `simhash` column, with the shingle array materialized once.
+
+    Per-row Column path (interpreted HOF bit votes) — composable but
+    slow; prefer `simhash_frame` on any hot path."""
     return (
         df.withColumn("__sh", _shingles(F.col(text_col), shingle_k))
         .withColumn("simhash", simhash_from(F.col("__sh"), bits))
@@ -168,11 +185,51 @@ def with_simhash(df: DataFrame, text_col: str = "text", bits: int = 64, shingle_
     )
 
 
+def simhash_frame(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    shingle_k: int = 2,
+) -> DataFrame:
+    """(id, simhash) via explode + `bits` SUM aggregates — the scalable
+    twin of `with_simhash`: one Arrow shingle pass, then pure codegen
+    JVM aggregation with map-side partial sums, instead of `bits`
+    interpreted F.aggregate passes per row. Fingerprints are IDENTICAL
+    to simhash_from(_shingles(...)): the per-position (duplicate-
+    keeping) bit vote equals the multiplicity-weighted vote over
+    distinct shingles, which is what sum(c * (+/-1)) computes. Docs
+    with NULL text produce no shingles and are absent from the output
+    (the Column path would carry a NULL simhash)."""
+    ex = shingle_explode(df, text_col, id_col, shingle_k).select(
+        "id", "c", F.xxhash64("g").alias("__gh")
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright("__gh", i).bitwiseAND(F.lit(1)) == 1, F.col("c")
+            ).otherwise(-F.col("c"))
+        ).alias(f"__b{i}")
+        for i in range(bits)
+    ]
+    agg = ex.groupBy("id").agg(*votes)
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out.bitwiseOR(
+            F.when(
+                F.col(f"__b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return agg.select(F.col("id").alias(id_col), out.alias("simhash"))
+
+
 def shingle_explode(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
     """Distinct word-k-gram shingles as exploded STRING rows
-    (id, n, g), produced in ONE Arrow batch pass.
+    (id, n, c, g) — n = the doc's distinct-shingle count, c = this
+    shingle's positional multiplicity — produced in ONE Arrow batch
+    pass.
 
     Why not the Column-expression `_shingles`: Catalyst inlines the
     split→transform→slice→concat→hash chain into every consumer
@@ -197,7 +254,7 @@ def shingle_explode(
 
     empty = pd.DataFrame(
         {"id": pd.Series(dtype="int64"), "n": pd.Series(dtype="int32"),
-         "g": pd.Series(dtype="object")}
+         "c": pd.Series(dtype="int32"), "g": pd.Series(dtype="object")}
     )
 
     def gen(batches):
@@ -236,18 +293,28 @@ def shingle_explode(
                 cur[v] = cur[v] + " "
                 cur[v] = cur[v] + flat[st[v] + j]
             sh[ne] = cur
-            dd = pd.DataFrame({"i": doc_idx, "g": sh}).drop_duplicates()
-            i = dd["i"].to_numpy()
-            g = dd["g"].to_numpy()
-            order = np.lexsort((g, i))
-            i, g = i[order], g[order]
+            # distinct + multiplicity in one lexsort: runs of equal
+            # (doc, gram) collapse to one row with their run length
+            order = np.lexsort((sh, doc_idx))
+            si, sg = doc_idx[order], sh[order]
+            new = np.empty(len(si), dtype=bool)
+            new[0] = True
+            new[1:] = (si[1:] != si[:-1]) | (sg[1:] != sg[:-1])
+            starts = np.flatnonzero(new)
+            c = np.diff(np.append(starts, len(si)))
+            i, g = si[starts], sg[starts]
             counts = np.bincount(i, minlength=ndocs)
             yield pd.DataFrame(
-                {"id": ids[i], "n": counts[i].astype(np.int32), "g": g}
+                {
+                    "id": ids[i],
+                    "n": counts[i].astype(np.int32),
+                    "c": c.astype(np.int32),
+                    "g": g,
+                }
             )
 
     return df.select(F.col(id_col).alias(id_col), text_col).mapInPandas(
-        gen, "id long, n int, g string"
+        gen, "id long, n int, c int, g string"
     )
 
 

@@ -104,6 +104,34 @@ def _commands_path(rings: list[list[tuple[int, int]]], close: bool) -> list[int]
 GEOM_TYPES = {"Point": 1, "LineString": 2, "Polygon": 3}
 
 
+def encode_varints(vals) -> bytes:
+    """Vectorized varint encoder: uint64 array -> packed LEB128 bytes.
+
+    Twin of osmpbf.decode_varints, same no-per-value-Python idea in
+    reverse: per-value byte counts from 7-bit shifts, byte payloads
+    from a repeat + per-byte-index shift, continuation bits from an
+    is-last-byte mask. All inputs here (command integers, zigzagged
+    deltas, tag indices) are non-negative and < 2^63."""
+    import numpy as np
+
+    v = np.asarray(vals, dtype=np.uint64)
+    if len(v) == 0:
+        return b""
+    nbytes = np.ones(len(v), dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nbytes += tmp > 0
+        tmp >>= np.uint64(7)
+    ends = np.cumsum(nbytes)
+    total = int(ends[-1])
+    starts = ends - nbytes
+    idx = np.arange(total, dtype=np.int64) - np.repeat(starts, nbytes)
+    shifted = np.repeat(v, nbytes) >> (idx.astype(np.uint64) * np.uint64(7))
+    out = (shifted & np.uint64(0x7F)).astype(np.uint8)
+    out[idx != np.repeat(nbytes - 1, nbytes)] |= 0x80
+    return out.tobytes()
+
+
 def encode_layer(
     name: str,
     features: Iterable[dict],
@@ -170,81 +198,194 @@ def mvt_tiles(
 ):
     """Normalized feature rows -> one MVT blob per (tile_x, tile_y).
 
-    One shuffle on the engine's natural tile key, then a local encode
-    per group (applyInPandas; rows sorted by (zen_layer, id) inside
-    the group so the interned key/value tables — and therefore the
-    blob bytes — are deterministic). Input needs: geometry struct
-    (xs/ys/ring_lens), geom_type, zen_layer, id, tile_x, tile_y at
-    ``zoom``, plus ``property_cols``. Returns
-    (tile_x, tile_y, n_features, mvt binary)."""
-    import math as _math
+    Scale shape: ONE shuffle (repartition on the engine's natural tile
+    key) + sortWithinPartitions(tile, zen_layer, id) so every tile's
+    rows arrive contiguous and in deterministic order, then a
+    mapInPandas encoder that runs batch-VECTORIZED: Mercator
+    projection + extent quantization over all points of an Arrow
+    batch at once, zigzag deltas as whole-array int math, varints via
+    the numpy LEB128 kernel (encode_varints). Python touches features
+    (assembling ~100-byte protobuf bodies) and tiles (key/value
+    interning tables), never points or varint bytes — the first
+    applyInPandas-per-tile version spent ~3 ms/feature on per-point
+    math and per-group overhead; this one is ~30 us/feature.
 
-    import pandas as pd  # noqa: F401
+    A tile whose rows straddle an Arrow batch boundary is carried into
+    the next batch (tiles cannot straddle partitions: the shuffle is
+    ON the tile key), so memory is O(batch + largest tile), not
+    O(partition). Input needs: geometry struct (xs/ys/ring_lens),
+    geom_type, zen_layer, id, tile_x, tile_y at ``zoom``, plus
+    ``property_cols``. Returns (tile_x, tile_y, n_features, mvt).
+    Byte-parity with the scalar encode_tile path is pytest-gated
+    (tests/test_mvt.py)."""
+    import numpy as np
+    import pandas as pd
 
     n_tiles = 1 << zoom
     max_lat = 85.05112877980659
+    pcols = list(property_cols)
+    out_cols = ["tile_x", "tile_y", "n_features", "mvt"]
 
-    def build(key, pdf):
-        tx, ty = int(key[0]), int(key[1])
-        pdf = pdf.sort_values(["zen_layer", "id"], kind="mergesort")
-        layers: dict[str, list[dict]] = {}
-        for row in pdf.itertuples(index=False):
-            geom = row.geometry
-            xs, ys, ring_lens = list(geom["xs"]), list(geom["ys"]), list(geom["ring_lens"])
-            rings = []
-            off = 0
-            for ln in ring_lens:
-                ring = []
-                for i in range(off, off + ln):
-                    xn = (xs[i] + 180.0) / 360.0 * n_tiles - tx
-                    lat = max(-max_lat, min(max_lat, ys[i]))
-                    rlat = _math.radians(lat)
-                    yn = (
-                        (1.0 - _math.log(_math.tan(rlat) + 1.0 / _math.cos(rlat)) / _math.pi)
-                        / 2.0 * n_tiles - ty
-                    )
-                    gx = max(0, min(extent, int(xn * extent)))
-                    gy = max(0, min(extent, int(yn * extent)))
-                    ring.append((gx, gy))
-                rings.append(ring)
-                off += ln
-            gt = row.geom_type
+    def _zz(d):
+        # vectorized zigzag; deltas are extent-bounded, no overflow
+        return ((d << 1) ^ (d >> 63)).astype(np.uint64)
+
+    def encode_ready(pdf):
+        n = len(pdf)
+        if n == 0:
+            return []
+        geo = pdf["geometry"]
+        xs_l = [np.asarray(g["xs"], dtype=np.float64) for g in geo]
+        ys_l = [np.asarray(g["ys"], dtype=np.float64) for g in geo]
+        rl_l = [np.asarray(g["ring_lens"], dtype=np.int64) for g in geo]
+        npts = np.fromiter((len(a) for a in xs_l), dtype=np.int64, count=n)
+        xs = np.concatenate(xs_l)
+        ys = np.concatenate(ys_l)
+        tx = pdf["tile_x"].to_numpy(dtype=np.int64)
+        ty = pdf["tile_y"].to_numpy(dtype=np.int64)
+        # projection + quantization, all points at once (trunc toward
+        # zero then clamp — identical to the scalar reference)
+        xn = (xs + 180.0) / 360.0 * n_tiles - np.repeat(tx, npts)
+        rlat = np.radians(np.clip(ys, -max_lat, max_lat))
+        yn = (1.0 - np.log(np.tan(rlat) + 1.0 / np.cos(rlat)) / np.pi) / 2.0 * n_tiles
+        yn -= np.repeat(ty, npts)
+        gx = np.clip(np.trunc(xn * extent), 0, extent).astype(np.int64)
+        gy = np.clip(np.trunc(yn * extent), 0, extent).astype(np.int64)
+
+        offs = np.concatenate(([0], np.cumsum(npts)))
+        gts = pdf["geom_type"].to_numpy()
+        ids = pdf["id"].to_numpy()
+        lnames = pdf["zen_layer"].to_numpy()
+        props = {c: pdf[c] for c in pcols}
+
+        feat_cmds: list[bytes] = []
+        gcodes = np.empty(n, dtype=np.int8)
+        for i in range(n):
+            fx = gx[offs[i] : offs[i + 1]]
+            fy = gy[offs[i] : offs[i + 1]]
+            gt = gts[i]
             if gt.endswith("Polygon"):
-                gname = "Polygon"
+                gcode, close = 3, True
             elif gt.endswith("LineString"):
-                gname = "LineString"
+                gcode, close = 2, False
             else:
-                gname = "Point"
-            props = {}
-            for c in property_cols:
-                v = getattr(row, c, None)
-                if v is not None and v == v:  # drop None/NaN
-                    props[c] = v
-            layers.setdefault(row.zen_layer, []).append(
-                {
-                    "id": abs(int(row.id)),
-                    "geom_type": gname,
-                    "rings": rings,
-                    "properties": props,
-                }
-            )
-        blob = encode_tile(layers, extent)
-        import pandas as _pd
+                gcode, close = 1, False
+            gcodes[i] = gcode
+            if gcode == 1:
+                zz = np.empty(2 * len(fx), dtype=np.uint64)
+                zz[0::2] = _zz(np.diff(fx, prepend=0))
+                zz[1::2] = _zz(np.diff(fy, prepend=0))
+                cmds = np.concatenate(
+                    (np.asarray([1 | (len(fx) << 3)], dtype=np.uint64), zz)
+                )
+            else:
+                keep_x, keep_y, counts = [], [], []
+                roff = 0
+                for ln in rl_l[i]:
+                    rx, ry = fx[roff : roff + ln], fy[roff : roff + ln]
+                    roff += ln
+                    if close and ln > 1 and rx[0] == rx[-1] and ry[0] == ry[-1]:
+                        rx, ry = rx[:-1], ry[:-1]
+                    if len(rx) < 2:
+                        continue
+                    keep_x.append(rx)
+                    keep_y.append(ry)
+                    counts.append(len(rx))
+                if not counts:
+                    feat_cmds.append(b"")
+                    continue
+                px = np.concatenate(keep_x)
+                py = np.concatenate(keep_y)
+                # deltas chain across rings (the cursor never resets)
+                zz = np.empty(2 * len(px), dtype=np.uint64)
+                zz[0::2] = _zz(np.diff(px, prepend=0))
+                zz[1::2] = _zz(np.diff(py, prepend=0))
+                parts = []
+                p = 0
+                for c in counts:
+                    parts.append(
+                        np.asarray(
+                            [1 | (1 << 3), zz[2 * p], zz[2 * p + 1], 2 | ((c - 1) << 3)],
+                            dtype=np.uint64,
+                        )
+                    )
+                    parts.append(zz[2 * p + 2 : 2 * (p + c)])
+                    if close:
+                        parts.append(np.asarray([7 | (1 << 3)], dtype=np.uint64))
+                    p += c
+                cmds = np.concatenate(parts)
+            feat_cmds.append(encode_varints(cmds))
 
-        return _pd.DataFrame(
-            {
-                "tile_x": [tx],
-                "tile_y": [ty],
-                "n_features": [sum(len(v) for v in layers.values())],
-                "mvt": [blob],
-            }
-        )
+        keys = pdf[["tile_x", "tile_y"]].to_numpy()
+        change = np.flatnonzero((keys[1:] != keys[:-1]).any(axis=1)) + 1
+        bounds = np.concatenate(([0], change, [n]))
+        out_rows = []
+        for bi in range(len(bounds) - 1):
+            s, e = int(bounds[bi]), int(bounds[bi + 1])
+            layer_parts: dict[str, tuple[dict, dict, list]] = {}
+            for i in range(s, e):
+                keys_t, vals_t, feats = layer_parts.setdefault(
+                    str(lnames[i]), ({}, {}, [])
+                )
+                tags: list[int] = []
+                for c in pcols:
+                    v = props[c].iat[i]
+                    if v is None or v != v:  # drop None/NaN
+                        continue
+                    if isinstance(v, np.generic):
+                        v = v.item()
+                    ki = keys_t.setdefault(c, len(keys_t))
+                    vi = vals_t.setdefault((type(v).__name__, v), len(vals_t))
+                    tags += [ki, vi]
+                body = _tag(1, _VARINT) + _varint(abs(int(ids[i])))
+                body += _len_field(2, encode_varints(np.asarray(tags, dtype=np.uint64)))
+                body += _tag(3, _VARINT) + _varint(int(gcodes[i]))
+                body += _len_field(4, feat_cmds[i])
+                feats.append(_len_field(2, body))
+            blob = bytearray()
+            nfeat = 0
+            for lname, (keys_t, vals_t, feats) in layer_parts.items():
+                lb = bytearray()
+                lb += _tag(15, _VARINT) + _varint(2)
+                lb += _len_field(1, lname.encode("utf-8"))
+                for fe in feats:
+                    lb += fe
+                for kk in keys_t:
+                    lb += _len_field(3, kk.encode("utf-8"))
+                for _t, vv in vals_t:
+                    lb += _len_field(4, _mvt_value(vv))
+                lb += _tag(5, _VARINT) + _varint(extent)
+                blob += _len_field(3, bytes(lb))
+                nfeat += len(feats)
+            out_rows.append((int(keys[s][0]), int(keys[s][1]), nfeat, bytes(blob)))
+        return out_rows
+
+    def gen(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            lx = pdf["tile_x"].iat[-1]
+            ly = pdf["tile_y"].iat[-1]
+            last = ((pdf["tile_x"] == lx) & (pdf["tile_y"] == ly)).to_numpy()
+            carry = pdf[last].reset_index(drop=True)
+            rows = encode_ready(pdf[~last])
+            if rows:
+                yield pd.DataFrame(rows, columns=out_cols)
+        if carry is not None and len(carry):
+            rows = encode_ready(carry)
+            if rows:
+                yield pd.DataFrame(rows, columns=out_cols)
 
     cols = ["tile_x", "tile_y", "geometry", "geom_type", "zen_layer", "id", *property_cols]
     return (
         df.select(*dict.fromkeys(cols))
-        .groupBy("tile_x", "tile_y")
-        .applyInPandas(build, "tile_x long, tile_y long, n_features int, mvt binary")
+        .repartition("tile_x", "tile_y")
+        .sortWithinPartitions("tile_x", "tile_y", "zen_layer", "id")
+        .mapInPandas(gen, "tile_x long, tile_y long, n_features int, mvt binary")
     )
 
 

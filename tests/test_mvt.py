@@ -84,6 +84,143 @@ def test_negative_deltas_zigzag():
     assert got["rings"] == f["rings"]
 
 
+def test_encode_varints_matches_scalar():
+    from osmzen_spark.sinks.mvt import _varint, encode_varints
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate(
+        [
+            np.array([0, 1, 127, 128, 300, 2**31, 2**62], dtype=np.uint64),
+            rng.integers(0, 2**62, 500, dtype=np.int64).astype(np.uint64),
+        ]
+    )
+    assert encode_varints(vals) == b"".join(_varint(int(v)) for v in vals)
+    assert encode_varints(np.array([], dtype=np.uint64)) == b""
+
+
+def test_spark_mvt_sink_byte_parity_with_scalar(spark):
+    """The vectorized mapInPandas sink must produce byte-identical
+    blobs to the scalar reference (old per-point projection + interned
+    encode_tile) over every geometry type, holes, multiparts, ring
+    collapse, NaN/None props, negative ids, and multiple layers."""
+    import math
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from osmzen_spark.sinks.mvt import encode_tile, mvt_tiles
+
+    zoom, extent = 4, 4096
+    n_tiles = 1 << zoom
+    max_lat = 85.05112877980659
+    rng = np.random.default_rng(11)
+    rows = []
+    fid = 0
+    for tx, ty in [(8, 5), (8, 6), (9, 5)]:
+        # tile-local lon/lat window
+        lon0 = tx / n_tiles * 360.0 - 180.0
+        lon1 = (tx + 1) / n_tiles * 360.0 - 180.0
+
+        def lat_of(yn):
+            t = math.pi * (1 - 2 * yn / n_tiles)
+            return math.degrees(math.atan(math.sinh(t)))
+
+        lat0, lat1 = lat_of(ty + 1), lat_of(ty)
+        for layer in ("buildings", "roads"):
+            for _ in range(6):
+                fid += 1
+                kind_g = rng.integers(0, 4)
+                lons = lon0 + rng.random(8) * (lon1 - lon0)
+                lats = lat0 + rng.random(8) * (lat1 - lat0)
+                if kind_g == 0:  # point (possibly multi)
+                    npt = int(rng.integers(1, 3))
+                    geom = ("Point", lons[:npt], lats[:npt], [1] * npt)
+                elif kind_g == 1:  # linestring
+                    geom = ("LineString", lons[:4], lats[:4], [4])
+                elif kind_g == 2:  # closed polygon with hole
+                    xs = np.concatenate([lons[:3], lons[:1], lons[3:6], lons[3:4]])
+                    ys = np.concatenate([lats[:3], lats[:1], lats[3:6], lats[3:4]])
+                    geom = ("Polygon", xs, ys, [4, 4])
+                else:  # degenerate ring (collapses) + a real ring
+                    xs = np.concatenate([lons[:1], lons[1:4]])
+                    ys = np.concatenate([lats[:1], lats[1:4]])
+                    geom = ("MultiPolygon", xs, ys, [1, 3])
+                kind = None if fid % 5 == 0 else f"k{int(rng.integers(0, 3))}"
+                rows.append(
+                    (
+                        tx,
+                        ty,
+                        {
+                            "xs": [float(v) for v in geom[1]],
+                            "ys": [float(v) for v in geom[2]],
+                            "ring_lens": geom[3],
+                            "ring_roles": [0] * len(geom[3]),
+                        },
+                        geom[0],
+                        layer,
+                        fid if fid % 3 else -fid,
+                        kind,
+                    )
+                )
+    df = spark.createDataFrame(
+        rows,
+        "tile_x long, tile_y long, "
+        "geometry struct<xs:array<double>,ys:array<double>,"
+        "ring_lens:array<int>,ring_roles:array<int>>, "
+        "geom_type string, zen_layer string, id long, kind string",
+    ).repartition(5)  # exercise the shuffle + carry machinery
+
+    got = {
+        (r["tile_x"], r["tile_y"]): (r["n_features"], bytes(r["mvt"]))
+        for r in mvt_tiles(df, zoom=zoom, property_cols=("kind",)).collect()
+    }
+
+    # scalar reference: old per-point projection feeding encode_tile
+    by_tile: dict = {}
+    for tx, ty, geom, gt, layer, rid, kind in rows:
+        by_tile.setdefault((tx, ty), []).append((layer, rid, geom, gt, kind))
+    want = {}
+    for (tx, ty), feats in by_tile.items():
+        feats.sort(key=lambda f: (f[0], f[1]))
+        layers: dict = {}
+        for layer, rid, geom, gt, kind in feats:
+            rings, off = [], 0
+            for ln in geom["ring_lens"]:
+                ring = []
+                for i in range(off, off + ln):
+                    xn = (geom["xs"][i] + 180.0) / 360.0 * n_tiles - tx
+                    lat = max(-max_lat, min(max_lat, geom["ys"][i]))
+                    rl = math.radians(lat)
+                    yn = (
+                        (1.0 - math.log(math.tan(rl) + 1.0 / math.cos(rl)) / math.pi)
+                        / 2.0 * n_tiles - ty
+                    )
+                    ring.append(
+                        (
+                            max(0, min(extent, int(xn * extent))),
+                            max(0, min(extent, int(yn * extent))),
+                        )
+                    )
+                rings.append(ring)
+                off += ln
+            gname = (
+                "Polygon"
+                if gt.endswith("Polygon")
+                else "LineString"
+                if gt.endswith("LineString")
+                else "Point"
+            )
+            layers.setdefault(layer, []).append(
+                {
+                    "id": abs(rid),
+                    "geom_type": gname,
+                    "rings": rings,
+                    "properties": {} if kind is None else {"kind": kind},
+                }
+            )
+        want[(tx, ty)] = (sum(len(v) for v in layers.values()), encode_tile(layers))
+    assert got == want
+
+
 def test_spark_mvt_sink_buildings(spark):
     """End-to-end: normalized buildings -> per-tile MVT blobs; decode
     every blob and check feature counts and quantized coordinates stay

@@ -510,7 +510,7 @@ def test_shingle_explode_matches_scalar_definition(spark):
     for k in (1, 3, 5):
         df = spark.createDataFrame(rows, "doc_id long, text string")
         got = [
-            (r["id"], r["n"], r["g"])
+            (r["id"], r["n"], r["c"], r["g"])
             for r in shingle_explode(df, "text", "doc_id", k)
             .orderBy("id", "g")
             .collect()
@@ -520,7 +520,66 @@ def test_shingle_explode_matches_scalar_definition(spark):
             if text is None:
                 continue
             ws = str(text).strip().lower().split()
-            shs = sorted({" ".join(ws[j : j + k]) for j in range(max(len(ws) - k, 0) + 1)})
-            want.extend((doc_id, len(shs), g) for g in shs)
-        want.sort()
+            pos = [" ".join(ws[j : j + k]) for j in range(max(len(ws) - k, 0) + 1)]
+            shs = sorted(set(pos))
+            want.extend((doc_id, len(shs), pos.count(g), g) for g in shs)
+        want.sort(key=lambda t: (t[0], t[3]))
         assert got == want, f"k={k}"
+
+
+def _parity_corpus(spark):
+    import random
+
+    rng = random.Random(99)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 30))))
+            for i in range(1, 30)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_simhash_frame_matches_column_path(spark):
+    """simhash_frame (explode + codegen bit-vote aggregates) must
+    produce the exact fingerprints of the Column-API with_simhash
+    (interpreted HOF votes over the positional shingle list)."""
+    from pyspark.sql import functions as F
+
+    from osmzen_spark.ops.dedup import simhash_frame, with_simhash
+
+    docs = _parity_corpus(spark)
+    a = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_frame(docs, "text", "doc_id", bits=64, shingle_k=2).collect()
+    }
+    b = {
+        r["doc_id"]: r["simhash"]
+        for r in with_simhash(docs, "text", bits=64, shingle_k=2)
+        .select("doc_id", "simhash")
+        .filter(F.col("text").isNotNull())
+        .collect()
+    }
+    assert a == b and len(a) > 10
+
+
+def test_minhash_signature_agg_matches_column_path(spark):
+    """minhash_dedup_pairs' explode+MIN-aggregate signatures must equal
+    the Column-API minhash_signature values slot for slot."""
+    from pyspark.sql import functions as F
+
+    from osmzen_spark.ops.dedup import minhash_signature, shingle_explode
+
+    docs = _parity_corpus(spark)
+    ex = shingle_explode(docs, "text", "doc_id", 5).select(
+        "id", F.xxhash64("g").alias("gh")
+    )
+    mins = [F.min(F.xxhash64(F.lit(i), F.col("gh"))).alias(f"s{i}") for i in range(8)]
+    a = {
+        r["id"]: tuple(r[f"s{i}"] for i in range(8))
+        for r in ex.groupBy("id").agg(*mins).collect()
+    }
+    b = {
+        r["doc_id"]: tuple(r["sig"])
+        for r in docs.filter(F.col("text").isNotNull())
+        .select("doc_id", minhash_signature(F.col("text"), 8, 5).alias("sig"))
+        .collect()
+    }
+    assert a == b and len(a) > 10
