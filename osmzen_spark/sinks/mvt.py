@@ -8,13 +8,14 @@ varints, zigzag deltas, MoveTo/LineTo/ClosePath command integers,
 per-layer interned key/value tables), with a decoder twin used by the
 tests to round-trip every byte.
 
-Spark shape: `write_mvt_tiles` groups the normalized feature table by
-(tile_x, tile_y) — the engine's natural partition key, ONE shuffle —
-and emits one (tile_x, tile_y, mvt bytes) row per tile via
-applyInPandas (Arrow batches; the per-tile feature count is bounded by
-keep_n_features upstream, so state per group is O(tile), not O(table)).
-At 10^12 features this is the standard tile-build fan-out: shuffle on
-the tile key, encode locally, write blobs to object storage.
+Spark shape: `mvt_tiles` shuffles the normalized feature table ONCE on
+(tile_x, tile_y) — the engine's natural partition key — sorts within
+partitions so tiles arrive contiguous, and encodes batch-vectorized
+inside mapInPandas (projection/quantization/zigzag/varint all as
+whole-array numpy; per-tile state is O(tile) via a carry buffer, not
+O(partition)). At 10^12 features this is the standard tile-build
+fan-out: shuffle on the tile key, encode locally, write blobs to
+object storage.
 
 Scope: Point / LineString / Polygon geometries, string/double/bool
 properties, configurable extent (default 4096). Geometries arrive in

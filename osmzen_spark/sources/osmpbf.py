@@ -395,6 +395,26 @@ def read_osm_pbf(spark: SparkSession, path: str, stage_cut: bool = True) -> OsmT
     return raw_tables(parsed)
 
 
+def full_tile(
+    spark: SparkSession,
+    path: str,
+    zoom: int = 16,
+    bound: tuple[float, float, float, float] | None = None,
+    engine=None,
+    **process_kw,
+) -> dict:
+    """planet.osm.pbf -> every layer's features at `zoom`: the PBF twin
+    of sources.osmxml.full_tile (the reference's `Config.Process` end
+    to end, ref:process.go:22, fed by the planet-scale input format).
+    Blob-parallel decode, then the shared assembly/membership/rule
+    pipeline (process_tables)."""
+    from osmzen_spark.sources.osmxml import process_tables
+
+    return process_tables(
+        read_osm_pbf(spark, path), zoom=zoom, bound=bound, engine=engine, **process_kw
+    )
+
+
 # ------------------------------------------------------------------
 # writer (test/datagen utility)
 # ------------------------------------------------------------------

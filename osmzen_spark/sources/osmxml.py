@@ -184,25 +184,21 @@ def read_osm_xml(spark: SparkSession, path: str, stage_cut: bool = True) -> OsmT
     return raw_tables(parsed)
 
 
-def full_tile(
-    spark: SparkSession,
-    path: str,
+def process_tables(
+    t: OsmTables,
     zoom: int = 16,
     bound: tuple[float, float, float, float] | None = None,
     engine=None,
     **process_kw,
 ) -> dict[str, DataFrame]:
-    """The reference's `Config.Process` end to end (ref:process.go:22:
-    OSM XML -> GeoJSON conversion -> every layer's filter/transform/
-    postprocess at `zoom`, clipped to `bound`): returns
-    {layer_name: DataFrame}.
-
-    `bound` is (minlon, minlat, maxlon, maxlat); None processes
-    unclipped (world bound for multipolygon ring patching)."""
+    """The reference's `Config.Process` from the raw tables onward
+    (ref:process.go:22: OSM -> GeoJSON conversion -> every layer's
+    filter/transform/postprocess at `zoom`, clipped to `bound`):
+    returns {layer_name: DataFrame}. Shared by every input format
+    that lands in the `OsmTables` bundle (XML, PBF)."""
     from osmzen_spark.pipeline.assembly import assemble_elements
     from osmzen_spark.pipeline.normalize import NormalizeEngine
 
-    t = read_osm_xml(spark, path)
     elements = assemble_elements(
         t.nodes, t.way_nodes, t.ways, t.relations, t.relation_members, bound=bound
     ).localCheckpoint(eager=True)
@@ -223,4 +219,22 @@ def full_tile(
         relation_members=rel_members,
         way_nodes=wn,
         **process_kw,
+    )
+
+
+def full_tile(
+    spark: SparkSession,
+    path: str,
+    zoom: int = 16,
+    bound: tuple[float, float, float, float] | None = None,
+    engine=None,
+    **process_kw,
+) -> dict[str, DataFrame]:
+    """OSM XML file -> every layer's features at `zoom` (the
+    reference's `Config.Process` end to end, ref:process.go:22).
+
+    `bound` is (minlon, minlat, maxlon, maxlat); None processes
+    unclipped (world bound for multipolygon ring patching)."""
+    return process_tables(
+        read_osm_xml(spark, path), zoom=zoom, bound=bound, engine=engine, **process_kw
     )

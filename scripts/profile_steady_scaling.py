@@ -62,16 +62,26 @@ def main():
     ev = []
     for root, _dirs, files in os.walk(EVDIR):
         for f in files:
-            if "events" in f and not f.endswith(".inprogress.crc"):
+            if "events" in f and not f.endswith(".crc"):
                 ev.append(os.path.join(root, f))
     ev.sort(key=os.path.getmtime)
     jobs = {}
     stages = {}
     target_jobs = set()
     def lines():
+        import io
+        import subprocess
+
         for path in ev:
-            with open(path) as f:
-                yield from f
+            if path.endswith(".zstd"):
+                # Spark 4's rolling event log v2 compresses with zstd
+                out = subprocess.run(
+                    ["zstd", "-d", "-c", path], capture_output=True, check=True
+                ).stdout
+                yield from io.StringIO(out.decode(errors="replace"))
+            else:
+                with open(path, errors="replace") as f:
+                    yield from f
 
     if True:
         for line in lines():

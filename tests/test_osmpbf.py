@@ -177,3 +177,45 @@ def test_pbf_matches_xml_on_reference_fixture(spark):
         assert abs(a[nid]["lon"] - b[nid]["lon"]) < 5e-8
         assert abs(a[nid]["lat"] - b[nid]["lat"]) < 5e-8
     os.unlink(path)
+
+
+def test_full_tile_from_pbf(spark, tmp_path):
+    """The planet-format user story end to end: the reference's z16
+    benchmark fixture re-encoded as .osm.pbf -> blob-parallel decode ->
+    assembly -> all 9 layers, with the same goldens the XML full_tile
+    test asserts (Terminal Tower kind/height, road kinds). Coordinate
+    quantization to the PBF 100-nanodegree grid must not change any
+    rule outcome at this tile."""
+    from osmzen_spark.sources.osmpbf import full_tile
+    from osmzen_spark.sources.osmxml import read_osm_xml
+    from osmzen_spark.tiling.cells import tile_bound
+
+    x = read_osm_xml(spark, "/root/reference/testdata/tile-16-17896-24450.xml")
+    nodes = [
+        (r["node_id"], r["lon"], r["lat"], dict(r["tags"])) for r in x.nodes.collect()
+    ]
+    ways_rows = {r["way_id"]: dict(r["tags"]) for r in x.ways.collect()}
+    wn: dict[int, list] = {}
+    for r in x.way_nodes.orderBy("way_id", "seq").collect():
+        wn.setdefault(r["way_id"], []).append(r["node_id"])
+    ways = [(wid, tags, wn.get(wid, [])) for wid, tags in ways_rows.items()]
+    rel_rows = {r["relation_id"]: dict(r["tags"]) for r in x.relations.collect()}
+    rm: dict[int, list] = {}
+    for r in x.relation_members.orderBy("relation_id", "seq").collect():
+        rm.setdefault(r["relation_id"], []).append(
+            (r["member_type"], r["member_id"], r["member_role"])
+        )
+    rels = [(rid, tags, rm.get(rid, [])) for rid, tags in rel_rows.items()]
+    p = os.path.join(tmp_path, "tile.osm.pbf")
+    with open(p, "wb") as f:
+        f.write(encode_pbf(nodes, ways, rels))
+
+    bound = tile_bound(16, 17896, 24450)
+    layers = full_tile(spark, p, zoom=16, bound=bound, cache=True)
+    assert len(layers) == 9
+    b = {r["name"]: r for r in layers["buildings"].collect()}
+    tt = b["Terminal Tower"]
+    assert tt["kind"] == "building"
+    assert abs(float(tt["height"]) - 158.0) < 1e-6
+    kinds = {r["kind"] for r in layers["roads"].select("kind").distinct().collect()}
+    assert {"major_road", "path"} & kinds
