@@ -287,6 +287,29 @@ def feature_json(
     )
 
 
+def process_geojson(
+    spark,
+    path: str,
+    zoom: int = 16,
+    bound: tuple[float, float, float, float] | None = None,
+    engine=None,
+    **process_kw,
+):
+    """The reference's `Config.ProcessGeoJSON` analog
+    (ref:benchmarks_test.go:233 BenchmarkProcessGeoJSON): features that
+    are ALREADY assembled GeoJSON — no OSM node/way/relation assembly —
+    run straight through every layer's filter/transform/postprocess.
+    Input is line-delimited Feature JSON at `path`; returns
+    {layer_name: DataFrame}. Way/relation membership context is absent
+    in flat GeoJSON (pass relation_members/way_nodes via process_kw if
+    you have them from elsewhere)."""
+    from osmzen_spark.pipeline.normalize import NormalizeEngine
+
+    elements = read_geojson_lines(spark, path)
+    eng = engine or NormalizeEngine()
+    return eng.process(elements, zoom=zoom, bound=bound, **process_kw)
+
+
 def write_geojson_lines(df: DataFrame, path: str, **feature_kw) -> None:
     """Land features as line-delimited GeoJSON text (one file per
     partition — the distributed sink)."""

@@ -203,3 +203,32 @@ def test_reference_output_shape(spark):
     for f in fc["buildings"]["features"]:
         assert f["geometry"]["type"] in ("Polygon", "MultiPolygon", "Point")
         assert f["properties"]["kind"] == "building" or f["properties"]["kind"]
+
+
+def test_process_geojson_reference_benchmark_shape(spark, tmp_path):
+    """BenchmarkProcessGeoJSON's semantics (ref:benchmarks_test.go:233):
+    already-assembled GeoJSON features -> filter/transform/postprocess
+    only, no OSM assembly. The z16 fixture's assembled elements are
+    serialized to Feature lines, read back, and processed; the XML
+    full_tile goldens must hold (Terminal Tower kind/height, road
+    kinds) — proving the GeoJSON writer/parser round-trips geometry
+    and tags faithfully enough for the whole rule chain."""
+    from osmzen_spark.pipeline.assembly import assemble_elements
+    from osmzen_spark.sources.geojson import process_geojson, write_geojson_lines
+    from osmzen_spark.sources.osmxml import read_osm_xml
+    from osmzen_spark.tiling.cells import tile_bound
+
+    t = read_osm_xml(spark, "/root/reference/testdata/tile-16-17896-24450.xml")
+    bound = tile_bound(16, 17896, 24450)
+    elements = assemble_elements(
+        t.nodes, t.way_nodes, t.ways, t.relations, t.relation_members, bound=bound
+    )
+    path = str(tmp_path / "feats")
+    write_geojson_lines(elements, path)
+    layers = process_geojson(spark, path, zoom=16, bound=bound, cache=True)
+    b = {r["name"]: r for r in layers["buildings"].collect()}
+    tt = b["Terminal Tower"]
+    assert tt["kind"] == "building"
+    assert abs(float(tt["height"]) - 158.0) < 1e-6
+    kinds = {r["kind"] for r in layers["roads"].select("kind").distinct().collect()}
+    assert {"major_road", "path"} & kinds
