@@ -134,6 +134,32 @@ def q_broadcast_join_agg(spark, sf_dir):
     )
 
 
+def q_bucketed_join(spark, sf_dir):
+    """Co-located big-big join: both sides pre-bucketed on the join key
+    (write-once-shuffle-never, ops/bucketed.py). At 100 TB this is how
+    a payload table re-joined per batch avoids paying its shuffle more
+    than once; the executed join plan here has NO Exchange on either
+    side (plan-asserted in tests/test_bucketed.py)."""
+    import tempfile
+
+    from osmzen_spark.ops.bucketed import bucketed_join, write_bucketed
+
+    base = f"{tempfile.gettempdir()}/osmzen_bucketed"
+    o = _read(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _read(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    write_bucketed(o, "osmzen_b_orders", "o_custkey", 8, path=f"{base}/orders")
+    write_bucketed(c, "osmzen_b_customer", "c_custkey", 8, path=f"{base}/customer")
+    j = bucketed_join(spark, "osmzen_b_orders", "osmzen_b_customer", "o_custkey", "c_custkey")
+    return (
+        j.groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("*").alias("order_cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("total_price"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
 def q_semi_join_membership(spark, sf_dir):
     """Membership semi-join (the is_bus_route / relation-membership
     shape): orders having any high-quantity lineitem."""
@@ -272,6 +298,39 @@ def q_text_stats(spark, sf_dir):
         token_count_col(t).cast("int").alias("n_tokens"),
         quality_score_col(t).alias("quality"),
     ).orderBy("doc_id")
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (the LLM-pretraining layout):
+    documents sharded by id, window cumsum per shard, span explode —
+    pure integer Column math, one shuffle (ops/packing.py)."""
+    from osmzen_spark.ops.packing import pack_sequences
+
+    docs = _read(spark, sf_dir, "documents")
+    return pack_sequences(docs, max_tokens=512, num_shards=8).orderBy(
+        "shard", "chunk_id", "doc_id"
+    )
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by md5 key-bucketing
+    (ops/sampling.py): shuffle-free projection, stable under corpus
+    growth, exactly re-derivable by the oracle (md5 is identical in
+    both engines)."""
+    from osmzen_spark.ops.sampling import hash_split
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars")).alias("n_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("split")
+    )
 
 
 def q_events_window(spark, sf_dir):
@@ -1218,6 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_match_classify": q_first_match_classify,
         "lookup_threshold": q_lookup_threshold,
         "broadcast_join_agg": q_broadcast_join_agg,
+        "bucketed_join": q_bucketed_join,
         "semi_join_membership": q_semi_join_membership,
         "window_rank_topk": q_window_rank_topk,
         "tile_assign": q_tile_assign,
@@ -1226,6 +1286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_vector_join": q_raster_vector_join,
         "exact_dedup": q_exact_dedup,
         "text_stats": q_text_stats,
+        "pack_sequences": q_pack_sequences,
+        "hash_split": q_hash_split,
         "events_window": q_events_window,
         "quantize_clamp": q_quantize_clamp,
         "minhash_near_dup": q_minhash_near_dup,
@@ -1413,6 +1475,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE r_name = 'ASIA'
             GROUP BY n_name ORDER BY n_name
         """,
+        "bucketed_join": """
+            SELECT c_custkey, c_name, COUNT(*) AS order_cnt,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+            ORDER BY c_custkey
+        """,
         "semi_join_membership": """
             SELECT o_orderkey AS order_id, o_orderpriority AS priority
             FROM orders
@@ -1499,6 +1568,50 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id ASC) = 1
             ORDER BY doc_id
+        """,
+        "pack_sequences": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens
+              FROM documents
+            ), f AS (
+              SELECT doc_id, n_tokens, doc_id % 8 AS shard
+              FROM t WHERE n_tokens > 0
+            ), c AS (
+              SELECT *, COALESCE(SUM(n_tokens) OVER (
+                          PARTITION BY shard ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+              FROM f
+            ), spans AS (
+              SELECT shard, doc_id, CAST(s AS BIGINT) AS s,
+                     CAST(s + n_tokens AS BIGINT) AS e,
+                     CAST(s // 512 AS BIGINT) AS fc,
+                     CAST((s + n_tokens - 1) // 512 AS BIGINT) AS lc
+              FROM c
+            ), x AS (
+              SELECT shard, doc_id, s, e,
+                     UNNEST(generate_series(fc, lc)) AS chunk_id
+              FROM spans
+            )
+            SELECT shard, chunk_id, doc_id,
+                   GREATEST(s, chunk_id * 512) - chunk_id * 512 AS offset_in_chunk,
+                   LEAST(e, (chunk_id + 1) * 512) - GREATEST(s, chunk_id * 512) AS tokens_in_chunk
+            FROM x
+            ORDER BY shard, chunk_id, doc_id
+        """,
+        "hash_split": """
+            WITH s AS (
+              SELECT *,
+                     CASE
+                       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'train'
+                       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333333' THEN 'val'
+                       ELSE 'test'
+                     END AS split
+              FROM documents
+            )
+            SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+                   MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+            FROM s GROUP BY split ORDER BY split
         """,
         "events_window": """
             SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,

@@ -121,12 +121,15 @@ def run_operator_bench(spark, sf_dir):
     for name in (
         "pricing_summary",
         "broadcast_join_agg",
+        "bucketed_join",
         "window_rank_topk",
         "tile_assign",
         "point_in_polygon",
         "knn",
         "exact_dedup",
         "text_stats",
+        "pack_sequences",
+        "hash_split",
         "minhash_near_dup",
         "cosine_topk",
         "ann_recall",
@@ -188,15 +191,57 @@ def main():
         #     scaling at sandbox data sizes; BASELINE.md carries the
         #     F+W/cores decomposition.
         replicate = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICATE", "4"))
+        # Arms are configurable (';'-separated "master:cores" or bare
+        # core counts -> local[n]). The default 8;32 pair measures
+        # thread-scaling inside ONE shared JVM — which couples the arms
+        # through a single GC/heap and through this host's SMT ceiling
+        # (~0.76 per-thread throughput at 32 procs, see BASELINE.md).
+        # The cluster-shaped alternative is Spark's local-cluster mode
+        # (N separate executor JVMs with their own heaps — the literal
+        # "N executors vs 4N executors" of the north rule):
+        #   SPARK_GRAFT_SCALING_ARMS='local-cluster[1,4,18432]:4;local-cluster[4,4,18432]:16'
+        arms_env = os.environ.get("SPARK_GRAFT_SCALING_ARMS", "8;32")
+        arms: list[tuple[str, int]] = []
+        for a in arms_env.split(";"):
+            a = a.strip()
+            if a.isdigit():
+                arms.append((f"local[{a}]", int(a)))
+            else:
+                master, _, cores = a.rpartition(":")
+                arms.append((master, int(cores)))
         results = {}
-        for arm_idx, cpus in enumerate((8, 32)):
+        for arm_idx, (master, cpus) in enumerate(arms):
             if arm_idx:
                 # let the previous arm's JVM shutdown hooks / heap
                 # release / kcompactd churn finish before timing the
                 # next arm (single box; a 48g heap tears down slowly)
                 time.sleep(30)
+            extra = {}
+            if master.startswith("local-cluster"):
+                # worker memory is the 3rd bracket arg (MB); executor
+                # heap must fit under it. Python workers on executors
+                # need the repo on their path (driver sys.path is not
+                # inherited across JVM boundaries, unlike local mode).
+                worker_mb = int(master.rstrip("]").split(",")[-1])
+                extra = {
+                    "spark.executor.memory": f"{max(worker_mb - 2048, 1024)}m",
+                    "spark.executorEnv.PYTHONPATH": os.path.dirname(os.path.abspath(__file__)),
+                    # a pooled idle python worker killed at hand-off
+                    # deadlocks PythonRunner (writer thread dies, task
+                    # thread selects forever — observed 2026-08-18 on
+                    # this host, 17-min stall at stage 16 21/22);
+                    # fresh workers per task close the race, and
+                    # speculation re-launches any task that still
+                    # wedges (only meaningful with >1 executor)
+                    "spark.python.worker.reuse": "false",
+                    "spark.speculation": "true",
+                    "spark.speculation.interval": "5s",
+                    "spark.speculation.multiplier": "4",
+                    "spark.speculation.quantile": "0.9",
+                }
             spark = get_spark(
-                app_name=f"bench-scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
+                app_name=f"bench-scaling-{cpus}", master=master, shuffle_partitions=max(cpus, 8),
+                extra_conf=extra,
             )
             t0 = time.time()
             out, engine = flagship(spark, SF_DIR, replicate=replicate)
@@ -224,23 +269,28 @@ def main():
                 "steady_write_features_per_sec": round(n / steady_write_sec, 1),
                 "pipeline_features_per_sec": round(n / pipeline_sec, 1),
             }
-            spark.stop()
-        eff_s = results[32]["steady_features_per_sec"] / (4 * results[8]["steady_features_per_sec"])
-        eff_w = results[32]["steady_write_features_per_sec"] / (
-            4 * results[8]["steady_write_features_per_sec"]
-        )
-        eff_p = results[32]["pipeline_features_per_sec"] / (4 * results[8]["pipeline_features_per_sec"])
-        print(
-            json.dumps(
-                {
-                    "scaling": results,
-                    "replicate": replicate,
-                    "efficiency_8_to_32_steady": round(eff_s, 3),
-                    "efficiency_8_to_32_steady_write": round(eff_w, 3),
-                    "efficiency_8_to_32_pipeline": round(eff_p, 3),
-                }
+            # incremental per-arm record on stderr: a crash/hang in a
+            # later arm must not lose a finished arm's numbers (the
+            # 2026-08-18 deadlock cost a completed 43-min arm)
+            print(
+                json.dumps({"arm": master, "cores": cpus, **results[cpus]}),
+                file=sys.stderr,
+                flush=True,
             )
-        )
+            spark.stop()
+        (_, ca), (_, cb) = arms[0], arms[-1]
+        factor = cb / ca
+        out = {
+            "scaling": results,
+            "replicate": replicate,
+            "arms": arms_env,
+        }
+        for kind in ("steady", "steady_write", "pipeline"):
+            eff = results[cb][f"{kind}_features_per_sec"] / (
+                factor * results[ca][f"{kind}_features_per_sec"]
+            )
+            out[f"efficiency_{ca}_to_{cb}_{kind}"] = round(eff, 3)
+        print(json.dumps(out))
         return
 
     if "--ops-only" in sys.argv:
