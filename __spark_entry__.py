@@ -333,6 +333,59 @@ def q_hash_split(spark, sf_dir):
     )
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination (GPT-3-style containment): train docs
+    sharing >=30% of a benchmark item's word bigrams. The benchmark
+    side (doc_id % 4 == 3 here; a real eval suite in production) is
+    BROADCAST, so the train corpus is never shuffled
+    (ops/contamination.py). Sandbox-scale parameters (k=2, t=0.3) are
+    chosen so the tiny synthetic corpus yields partial-overlap hits;
+    production defaults are k=8, t=0.8."""
+    from osmzen_spark.ops.contamination import contamination_check
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 4 == 3)
+    train = docs.filter(F.col("doc_id") % 4 != 3)
+    out = contamination_check(train, bench, k=2, min_containment=0.3)
+    return out.select(
+        "train_id",
+        "bench_id",
+        F.col("n_bench").cast("long").alias("n_bench"),
+        "shared",
+        "containment",
+    ).orderBy("train_id", "bench_id")
+
+
+def q_curate_corpus(spark, sf_dir):
+    """The full training-data curation pipeline as ONE composed query:
+    quality filter -> exact dedup (keep lowest id) -> deterministic
+    train split -> sequence packing -> per-shard corpus stats. Every
+    stage is a library operator (textstats / dedup / sampling /
+    packing); the oracle re-derives the whole chain as CTEs. Scale
+    shape: filter+score are scan-fused projections, dedup is one
+    shuffle, split is shuffle-free, packing is one shuffle on the
+    shard key — 100 TB-viable end to end."""
+    from osmzen_spark.ops.dedup import exact_dedup
+    from osmzen_spark.ops.packing import pack_sequences
+    from osmzen_spark.ops.sampling import hash_split
+    from osmzen_spark.ops.textstats import quality_score_col
+
+    docs = _read(spark, sf_dir, "documents")
+    kept = docs.filter(quality_score_col(F.col("text")) >= 0.5)
+    deduped = exact_dedup(kept)
+    train = hash_split(deduped, "doc_id").filter(F.col("split") == "train")
+    packed = pack_sequences(train, max_tokens=256, num_shards=4)
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.countDistinct("chunk_id").alias("n_chunks"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("tokens_in_chunk").alias("n_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
 def q_events_window(spark, sf_dir):
     """Tumbling time-window aggregation over the events stream table."""
     e = _read(spark, sf_dir, "events")
@@ -1288,6 +1341,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "pack_sequences": q_pack_sequences,
         "hash_split": q_hash_split,
+        "contamination": q_contamination,
+        "curate_corpus": q_curate_corpus,
         "events_window": q_events_window,
         "quantize_clamp": q_quantize_clamp,
         "minhash_near_dup": q_minhash_near_dup,
@@ -1612,6 +1667,90 @@ def oracle_sql() -> dict[str, str]:
             SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars,
                    MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
             FROM s GROUP BY split ORDER BY split
+        """,
+        "contamination": """
+            WITH w AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, GREATEST(len(words) - 1, 1)),
+                       i -> array_to_string(words[i:i+1], ' ')
+                     )) AS grams
+              FROM w
+            ), ex AS (
+              SELECT doc_id, len(grams) AS n, UNNEST(grams) AS g FROM sh
+            ), tr AS (
+              SELECT doc_id AS train_id, g FROM ex WHERE doc_id % 4 <> 3
+            ), be AS (
+              SELECT doc_id AS bench_id, n AS n_bench, g FROM ex WHERE doc_id % 4 = 3
+            ), m AS (
+              SELECT train_id, bench_id, n_bench, COUNT(*) AS shared
+              FROM tr JOIN be USING (g) GROUP BY 1, 2, 3
+            )
+            SELECT train_id, bench_id, n_bench, shared,
+                   shared * 1.0 / n_bench AS containment
+            FROM m
+            WHERE shared * 1.0 / n_bench >= 0.3
+            ORDER BY train_id, bench_id
+        """,
+        "curate_corpus": """
+            WITH q AS (
+              SELECT doc_id, text,
+                     LENGTH(text) AS n,
+                     LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) AS alpha,
+                     LENGTH(REGEXP_REPLACE(text, '[^.,;:!?]', '', 'g')) AS punct,
+                     LEN(string_split_regex(TRIM(text), '\\s+')) AS n_words
+              FROM documents
+            ), scored AS (
+              SELECT doc_id, text,
+                     FLOOR((LEAST(n / 500.0, 1.0) * 0.3
+                            + alpha * 1.0 / GREATEST(n, 1) * 0.4
+                            + (1.0 - LEAST(punct * 10.0 / GREATEST(n, 1), 1.0)) * 0.1
+                            + CASE WHEN n * 1.0 / GREATEST(n_words, 1) BETWEEN 3 AND 10
+                                   THEN 1.0 ELSE 0.5 END * 0.2) * 1e6) / 1e6 AS quality
+              FROM q
+            ), kept AS (
+              SELECT doc_id, text FROM scored WHERE quality >= 0.5
+            ), deduped AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+                FROM kept
+              ) WHERE rn = 1
+            ), train AS (
+              SELECT doc_id, text FROM deduped
+              WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+            ), t AS (
+              SELECT doc_id,
+                     CAST(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens
+              FROM train
+            ), f AS (
+              SELECT doc_id, n_tokens, doc_id % 4 AS shard
+              FROM t WHERE n_tokens > 0
+            ), c AS (
+              SELECT *, COALESCE(SUM(n_tokens) OVER (
+                          PARTITION BY shard ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+              FROM f
+            ), spans AS (
+              SELECT shard, doc_id, CAST(s AS BIGINT) AS s,
+                     CAST(s + n_tokens AS BIGINT) AS e,
+                     CAST(s // 256 AS BIGINT) AS fc,
+                     CAST((s + n_tokens - 1) // 256 AS BIGINT) AS lc
+              FROM c
+            ), x AS (
+              SELECT shard, doc_id, s, e,
+                     UNNEST(generate_series(fc, lc)) AS chunk_id
+              FROM spans
+            )
+            SELECT shard,
+                   COUNT(DISTINCT chunk_id) AS n_chunks,
+                   COUNT(DISTINCT doc_id) AS n_docs,
+                   CAST(SUM(LEAST(e, (chunk_id + 1) * 256) - GREATEST(s, chunk_id * 256)) AS BIGINT) AS n_tokens
+            FROM x
+            GROUP BY shard ORDER BY shard
         """,
         "events_window": """
             SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,

@@ -130,6 +130,8 @@ def run_operator_bench(spark, sf_dir):
         "text_stats",
         "pack_sequences",
         "hash_split",
+        "contamination",
+        "curate_corpus",
         "minhash_near_dup",
         "cosine_topk",
         "ann_recall",
