@@ -333,6 +333,23 @@ def q_hash_split(spark, sf_dir):
     )
 
 
+def q_hash_sample(spark, sf_dir):
+    """Deterministic key-hash subsampling (ops/sampling.py): keep a
+    fixed fraction of documents by md5 bucket — shuffle-free scan-time
+    projection, stable under corpus growth (adding docs never flips an
+    existing doc in/out), and exactly re-derivable by the oracle. The
+    20% threshold 0x33333333 is the same cut point construction
+    production uses for held-out eval slices."""
+    from osmzen_spark.ops.sampling import hash_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        hash_sample(docs, 0.2, "doc_id")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark decontamination (GPT-3-style containment): train docs
     sharing >=30% of a benchmark item's word bigrams. The benchmark
@@ -1341,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "pack_sequences": q_pack_sequences,
         "hash_split": q_hash_split,
+        "hash_sample": q_hash_sample,
         "contamination": q_contamination,
         "curate_corpus": q_curate_corpus,
         "events_window": q_events_window,
@@ -1667,6 +1685,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars,
                    MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
             FROM s GROUP BY split ORDER BY split
+        """,
+        "hash_sample": """
+            SELECT doc_id, n_chars
+            FROM documents
+            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '33333333'
+            ORDER BY doc_id
         """,
         "contamination": """
             WITH w AS (

@@ -130,6 +130,7 @@ def run_operator_bench(spark, sf_dir):
         "text_stats",
         "pack_sequences",
         "hash_split",
+        "hash_sample",
         "contamination",
         "curate_corpus",
         "minhash_near_dup",
@@ -211,7 +212,10 @@ def main():
             else:
                 master, _, cores = a.rpartition(":")
                 arms.append((master, int(cores)))
-        results = {}
+        # keyed by the arm string, not the core count: two arms may
+        # share a core count (e.g. local[8] vs local-cluster[2,4,..]:8)
+        # and must not overwrite each other
+        results: dict[str, dict] = {}
         for arm_idx, (master, cpus) in enumerate(arms):
             if arm_idx:
                 # let the previous arm's JVM shutdown hooks / heap
@@ -262,7 +266,8 @@ def main():
             t0 = time.time()
             _noop(out)
             steady_write_sec = min(steady_write_sec, time.time() - t0)
-            results[cpus] = {
+            results[master] = {
+                "cores": cpus,
                 "features": n,
                 "steady_sec": round(steady_sec, 3),
                 "steady_write_sec": round(steady_write_sec, 3),
@@ -275,12 +280,12 @@ def main():
             # later arm must not lose a finished arm's numbers (the
             # 2026-08-18 deadlock cost a completed 43-min arm)
             print(
-                json.dumps({"arm": master, "cores": cpus, **results[cpus]}),
+                json.dumps({"arm": master, **results[master]}),
                 file=sys.stderr,
                 flush=True,
             )
             spark.stop()
-        (_, ca), (_, cb) = arms[0], arms[-1]
+        (ma, ca), (mb, cb) = arms[0], arms[-1]
         factor = cb / ca
         out = {
             "scaling": results,
@@ -288,8 +293,8 @@ def main():
             "arms": arms_env,
         }
         for kind in ("steady", "steady_write", "pipeline"):
-            eff = results[cb][f"{kind}_features_per_sec"] / (
-                factor * results[ca][f"{kind}_features_per_sec"]
+            eff = results[mb][f"{kind}_features_per_sec"] / (
+                factor * results[ma][f"{kind}_features_per_sec"]
             )
             out[f"efficiency_{ca}_to_{cb}_{kind}"] = round(eff, 3)
         print(json.dumps(out))
@@ -333,24 +338,39 @@ def main():
         cold[name] = cold_sec
         timings[name] = min(cold_sec, child_out["warm"].get(name, cold_sec))
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_bench_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_cold": cold,
-                "queries_warm": child_out["warm"],
-                "sf": _sf_label(SF_DIR),
-                "n_features_normalized": n_features,
-                "features_per_sec": round(n_features / flagship_sec, 1),
-                "features_per_sec_full_pipeline": round(
-                    n_features / timings["normalize_tile_pipeline"], 1
-                ),
-            }
-        )
-    )
+    headline = {
+        "metric": "total_bench_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_label(SF_DIR),
+        "n_features_normalized": n_features,
+        "features_per_sec": round(n_features / flagship_sec, 1),
+        "features_per_sec_full_pipeline": round(
+            n_features / timings["normalize_tile_pipeline"], 1
+        ),
+    }
+    # Raw protocol series (first cold run + immediate warm re-run per
+    # query) go to a sidecar file: the driver captures only the LAST
+    # 2000 chars of stdout and parses the final line as JSON, so the
+    # printed line must stay small (round 4's line, carrying all three
+    # series inline, overflowed the buffer and the driver recorded
+    # parsed=null). detail_path keeps the full record reviewable.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(
+                {**headline, "queries_cold": cold, "queries_warm": child_out["warm"]},
+                f,
+                indent=1,
+            )
+    except OSError:
+        pass  # read-only checkout must not kill the bench
+    line = json.dumps(headline, separators=(",", ":"))
+    if len(line) > 1900:  # still too wide for the tail buffer: shed precision
+        headline["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        line = json.dumps(headline, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -38,6 +38,10 @@ def _bucket_col(key: Column) -> Column:
 
 def hash_sample(df: DataFrame, rate: float, key_col: str) -> DataFrame:
     """Keep a deterministic `rate` fraction of rows by key hash."""
+    if rate >= 1.0:
+        # the clamped ceiling 'ffffffff' with strict '<' would drop
+        # keys whose md5 prefix is exactly 'ffffffff' (~2^-32 of keys)
+        return df
     return df.filter(_bucket_col(F.col(key_col)) < F.lit(_hex_threshold(rate)))
 
 

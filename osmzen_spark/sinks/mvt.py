@@ -362,22 +362,36 @@ def mvt_tiles(
         return out_rows
 
     def gen(batches):
-        carry = None
+        # carry: list of frames, all rows of ONE (still-open) tile key.
+        # Kept as a frame LIST so a tile spanning k Arrow batches costs
+        # one concat total, not k re-concats of the growing carry
+        # (the O(k^2) copying a hot tile used to pay).
+        carry: list = []
+        carry_key = None
         for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
             if len(pdf) == 0:
                 continue
-            lx = pdf["tile_x"].iat[-1]
-            ly = pdf["tile_y"].iat[-1]
+            first_key = (pdf["tile_x"].iat[0], pdf["tile_y"].iat[0])
+            if carry and first_key != carry_key:
+                # the carried tile is complete: flush it on its own
+                rows = encode_ready(pd.concat(carry, ignore_index=True))
+                carry = []
+                if rows:
+                    yield pd.DataFrame(rows, columns=out_cols)
+            lx, ly = pdf["tile_x"].iat[-1], pdf["tile_y"].iat[-1]
             last = ((pdf["tile_x"] == lx) & (pdf["tile_y"] == ly)).to_numpy()
-            carry = pdf[last].reset_index(drop=True)
-            rows = encode_ready(pdf[~last])
-            if rows:
-                yield pd.DataFrame(rows, columns=out_cols)
-        if carry is not None and len(carry):
-            rows = encode_ready(carry)
+            ready = pdf[~last]
+            if len(ready):
+                if carry:  # carried rows belong to ready's first tile
+                    ready = pd.concat([*carry, ready], ignore_index=True)
+                    carry = []
+                rows = encode_ready(ready)
+                if rows:
+                    yield pd.DataFrame(rows, columns=out_cols)
+            carry.append(pdf[last].reset_index(drop=True))
+            carry_key = (lx, ly)
+        if carry:
+            rows = encode_ready(pd.concat(carry, ignore_index=True))
             if rows:
                 yield pd.DataFrame(rows, columns=out_cols)
 

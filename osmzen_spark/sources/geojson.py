@@ -122,6 +122,10 @@ def parse_geojson_features(
             .when(gt == "MultiPolygon", mpoly[field])
         )
 
+    supported_types = (
+        "Point", "MultiPoint", "LineString", "MultiLineString", "Polygon", "MultiPolygon"
+    )
+
     geometry = F.struct(
         pick("xs").alias("xs"),
         pick("ys").alias("ys"),
@@ -144,7 +148,7 @@ def parse_geojson_features(
         ).alias("tags"),
         gt.alias("geom_type"),
         geometry.alias("geometry"),
-    ).filter(F.col("geom_type").isNotNull())
+    ).filter(F.col("geom_type").isin(*supported_types))
 
 
 def read_geojson_lines(spark: SparkSession, path: str) -> DataFrame:
@@ -233,7 +237,11 @@ def geometry_json(geom: Column, geom_type: Column) -> Column:
             x.getField("r"),
         ),
     )
-    multipolygon = F.concat(F.lit("["), grouped, F.lit("]"), F.lit("]"))
+    # zero rings would otherwise serialize as the malformed "[]]"
+    # (grouped is "" so no "[" is ever opened)
+    multipolygon = F.when(F.size(lens) == 0, F.lit("[]")).otherwise(
+        F.concat(F.lit("["), grouped, F.lit("]"), F.lit("]"))
+    )
 
     body = (
         F.when(geom_type == "Point", point)
@@ -267,10 +275,19 @@ def feature_json(
                 skip |= set(id_cols)
             property_cols = [c for c in df.columns if c not in skip]
         props = F.to_json(F.struct(*[F.col(c) for c in property_cols]))
+    # a NULL in either id column must degrade to "no id", not nullify
+    # the whole feature line through concat's null propagation
     id_part = (
-        F.concat(
-            F.lit('"id":"'), F.col(id_cols[0]), F.lit("/"), F.col(id_cols[1]).cast("string"), F.lit('",')
-        )
+        F.when(
+            F.col(id_cols[0]).isNotNull() & F.col(id_cols[1]).isNotNull(),
+            F.concat(
+                F.lit('"id":"'),
+                F.col(id_cols[0]),
+                F.lit("/"),
+                F.col(id_cols[1]).cast("string"),
+                F.lit('",'),
+            ),
+        ).otherwise(F.lit(""))
         if id_cols
         else F.lit("")
     )

@@ -232,3 +232,66 @@ def test_process_geojson_reference_benchmark_shape(spark, tmp_path):
     assert abs(float(tt["height"]) - 158.0) < 1e-6
     kinds = {r["kind"] for r in layers["roads"].select("kind").distinct().collect()}
     assert {"major_road", "path"} & kinds
+
+
+def test_unsupported_geometry_types_dropped(spark):
+    """GeometryCollection (and anything else outside the supported
+    six) must be filtered out, not pass through with a NULL geometry
+    struct that downstream sinks don't expect."""
+    feats = [
+        {
+            "type": "Feature",
+            "id": "node/1",
+            "properties": {},
+            "geometry": {"type": "Point", "coordinates": [1.0, 2.0]},
+        },
+        {
+            "type": "Feature",
+            "id": "relation/2",
+            "properties": {},
+            "geometry": {
+                "type": "GeometryCollection",
+                "geometries": [{"type": "Point", "coordinates": [0.0, 0.0]}],
+            },
+        },
+        {"type": "Feature", "id": "node/3", "properties": {}, "geometry": None},
+    ]
+    df = spark.createDataFrame([(json.dumps(f),) for f in feats], "value string")
+    rows = parse_geojson_features(df).collect()
+    assert [(r["element_type"], r["element_id"]) for r in rows] == [("node", 1)]
+    assert all(r["geometry"] is not None for r in rows)
+
+
+def test_feature_json_null_id_and_empty_multipolygon(spark):
+    """A NULL id column must not nullify the whole feature line
+    (concat null propagation), and a zero-ring MultiPolygon must
+    serialize as [] rather than the malformed ']]'."""
+    df = spark.createDataFrame(
+        [
+            (
+                "way",
+                None,
+                {"building": "yes"},
+                "MultiPolygon",
+                {"xs": [], "ys": [], "ring_lens": [], "ring_roles": []},
+            ),
+            (
+                "node",
+                5,
+                {"amenity": "cafe"},
+                "Point",
+                {"xs": [1.0], "ys": [2.0], "ring_lens": [1], "ring_roles": [0]},
+            ),
+        ],
+        "element_type string, element_id long, "
+        "tags map<string,string>, geom_type string, "
+        "geometry struct<xs:array<double>,ys:array<double>,"
+        "ring_lens:array<int>,ring_roles:array<int>>",
+    )
+    lines = [r["value"] for r in feature_json(df).collect()]
+    assert all(line is not None for line in lines)
+    parsed = [json.loads(line) for line in lines]
+    by_type = {p["geometry"]["type"]: p for p in parsed}
+    assert by_type["MultiPolygon"]["geometry"]["coordinates"] == []
+    assert "id" not in by_type["MultiPolygon"]
+    assert by_type["Point"]["id"] == "node/5"

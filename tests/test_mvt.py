@@ -269,3 +269,56 @@ def test_spark_mvt_sink_deterministic(spark):
     one = {(r["tile_x"], r["tile_y"]): bytes(r["mvt"]) for r in mvt_tiles(b, 10).collect()}
     two = {(r["tile_x"], r["tile_y"]): bytes(r["mvt"]) for r in mvt_tiles(b, 10).collect()}
     assert one == two
+
+
+def test_spark_mvt_sink_tile_spanning_many_batches(spark):
+    """A single hot tile spanning many Arrow batches must come out
+    identical to the single-batch encoding (exercises the carry-list
+    path that replaced the O(k^2) per-batch re-concat)."""
+    from osmzen_spark.sinks.mvt import mvt_tiles
+
+    rows = []
+    for fid in range(1, 401):
+        tx, ty = (8, 5) if fid <= 350 else (9, 5)  # one hot tile + one small
+        rows.append(
+            (
+                tx,
+                ty,
+                {
+                    "xs": [0.1 * (fid % 7) - 180.0 + tx * 22.5],
+                    "ys": [0.05 * (fid % 11) + 40.0],
+                    "ring_lens": [1],
+                    "ring_roles": [0],
+                },
+                "Point",
+                "pois",
+                fid,
+                f"k{fid % 3}",
+            )
+        )
+    schema = (
+        "tile_x long, tile_y long, "
+        "geometry struct<xs:array<double>,ys:array<double>,"
+        "ring_lens:array<int>,ring_roles:array<int>>, "
+        "geom_type string, zen_layer string, id long, kind string"
+    )
+    df = spark.createDataFrame(rows, schema)
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "16")  # hot tile spans ~22 batches
+        small = {
+            (r["tile_x"], r["tile_y"]): (r["n_features"], bytes(r["mvt"]))
+            for r in mvt_tiles(df, zoom=4, property_cols=("kind",)).collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    big = {
+        (r["tile_x"], r["tile_y"]): (r["n_features"], bytes(r["mvt"]))
+        for r in mvt_tiles(df, zoom=4, property_cols=("kind",)).collect()
+    }
+    assert small == big
+    assert small[(8, 5)][0] == 350 and small[(9, 5)][0] == 50

@@ -103,3 +103,12 @@ def test_hash_sample_subset_semantics(spark):
     k2 = {r.k for r in kept.collect()}
     k5 = {r.k for r in hash_sample(df, 0.5, "k").collect()}
     assert k2 <= k5
+
+
+def test_hash_sample_rate_one_keeps_everything(spark):
+    """rate>=1.0 must be a no-op: the clamped 'ffffffff' ceiling with
+    strict '<' used to drop keys whose md5 prefix is exactly
+    'ffffffff' (~2^-32 of keys)."""
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    assert hash_sample(df, 1.0, "k").count() == 1000
+    assert hash_sample(df, 1.5, "k").count() == 1000
