@@ -244,6 +244,18 @@ def main():
                     "spark.speculation.interval": "5s",
                     "spark.speculation.multiplier": "4",
                     "spark.speculation.quantile": "0.9",
+                    # this host stalls in multi-second hypervisor-steal
+                    # bursts; default heartbeat/rpc timeouts then mark
+                    # healthy executors lost, speculation storms, and
+                    # the app dies with "Could not find AppClient" (the
+                    # 2026-08-18 round-4 arm-2 failure). Stretch every
+                    # liveness timeout well past the longest observed
+                    # stall.
+                    "spark.network.timeout": "600s",
+                    "spark.rpc.askTimeout": "600s",
+                    "spark.executor.heartbeatInterval": "30s",
+                    "spark.worker.timeout": "600",
+                    "spark.storage.blockManagerHeartbeatTimeoutMs": "600000",
                 }
             spark = get_spark(
                 app_name=f"bench-scaling-{cpus}", master=master, shuffle_partitions=max(cpus, 8),
