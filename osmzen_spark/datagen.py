@@ -120,19 +120,15 @@ def payload_cache(spark: SparkSession, sf_dir: str, name: str, builder) -> DataF
             os.rename(tmp, path)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
-    df = spark.read.parquet(path)
-    # A sandbox-scale payload table is tiny on disk (parquet column
-    # compression: ~10-40 MB at sf0.1), so the file scan bin-packs it
-    # into one or two partitions (maxPartitionBytes=128 MB) and every
-    # downstream Arrow decode stage would run on a SINGLE core — at
-    # sf0.1 that serialized ~20 s of image decode per query. A real
-    # 100 TB Iceberg payload table has thousands of splits and never
-    # hits this; fan the scan out to the session's parallelism to
-    # restore the deployment shape (the 10-40 MB shuffle is noise).
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
-    return df
+    # Return the RAW scan. Do NOT blanket-repartition here: consumers
+    # that read only metadata columns (payload_normalize_tile takes
+    # just image_id/element_id/caption/phash) rely on the file-scan
+    # size estimate to get a BROADCAST join against the million-row
+    # feature table — an unconditional round-robin exchange here was
+    # measured to flip that join to shuffle+sort and triple the query
+    # (42.0 s vs 12.9 s at sf0.1). Decode-heavy consumers fan out
+    # AFTER their column pruning instead (payload.fan_out_scan).
+    return spark.read.parquet(path)
 
 
 def _square_geometry(lon, lat, side_m):

@@ -1,1 +1,6 @@
-from osmzen_spark.payload.images import decode_image_batch, with_image_features, psnr  # noqa: F401
+from osmzen_spark.payload.images import (  # noqa: F401
+    decode_image_batch,
+    fan_out_scan,
+    psnr,
+    with_image_features,
+)

@@ -239,7 +239,9 @@ def audio_features(audio: DataFrame) -> DataFrame:
                 names=["audio_id", "n_samples", "sum_v", "sum_sq", "zero_crossings"],
             )
 
-    return audio.mapInArrow(mapper, schema=out_schema)
+    from osmzen_spark.payload.images import fan_out_scan
+
+    return fan_out_scan(audio).mapInArrow(mapper, schema=out_schema)
 
 
 def synthetic_video(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -381,4 +383,6 @@ def sample_frames(video: DataFrame, every: int = 2) -> DataFrame:
                 names=["video_id", "frame_idx", "frame", "sum_r", "sum_g", "sum_b"],
             )
 
-    return video.mapInArrow(mapper, schema=out_schema)
+    from osmzen_spark.payload.images import fan_out_scan
+
+    return fan_out_scan(video).mapInArrow(mapper, schema=out_schema)

@@ -26,6 +26,24 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def fan_out_scan(df: DataFrame) -> DataFrame:
+    """Redistribute an under-partitioned input ahead of a Python decode
+    stage. A sandbox-scale payload parquet is tiny on disk (10-40 MB at
+    sf0.1), so the file scan bin-packs it into 1-2 partitions
+    (maxPartitionBytes=128 MB) and the Arrow decode stage would run on
+    a single core (~20 s serialized per query measured at sf0.1). A
+    real 100 TB table has thousands of splits, so the condition below
+    makes this a no-op at scale. Call it AFTER column pruning (select
+    first, then fan out) so the exchange carries only needed bytes —
+    and never on metadata-only paths, where the raw scan's size
+    estimate keeps broadcast joins alive."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 def decode_raw(data: bytes, w: int, h: int) -> np.ndarray:
     arr = np.frombuffer(data, dtype=np.uint8, count=w * h * 3)
     return arr.reshape(h, w, 3)
@@ -236,9 +254,9 @@ def with_image_hashes(images: DataFrame) -> DataFrame:
                 }
             )
 
-    return images.select("image_id", "bytes", "w", "h", "fmt", "caption").mapInPandas(
-        extract, schema=_HASH_SCHEMA
-    )
+    return fan_out_scan(
+        images.select("image_id", "bytes", "w", "h", "fmt", "caption")
+    ).mapInPandas(extract, schema=_HASH_SCHEMA)
 
 
 def phash_dedup_pairs(
@@ -311,9 +329,9 @@ def with_image_features(images: DataFrame) -> DataFrame:
                 }
             )
 
-    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
-        extract, schema=_FEATURE_SCHEMA
-    )
+    return fan_out_scan(
+        images.select("image_id", "bytes", "w", "h", "fmt")
+    ).mapInPandas(extract, schema=_FEATURE_SCHEMA)
 
 
 _CHANNEL_STATS_SCHEMA = T.StructType(
@@ -368,9 +386,9 @@ def with_channel_stats(images: DataFrame) -> DataFrame:
                 }
             )
 
-    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
-        stats, schema=_CHANNEL_STATS_SCHEMA
-    )
+    return fan_out_scan(
+        images.select("image_id", "bytes", "w", "h", "fmt")
+    ).mapInPandas(stats, schema=_CHANNEL_STATS_SCHEMA)
 
 
 _RESIZE_SCHEMA = T.StructType(
@@ -420,6 +438,6 @@ def resize_images(images: DataFrame, factor: int = 2) -> DataFrame:
                 }
             )
 
-    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
-        pool, schema=_RESIZE_SCHEMA
-    )
+    return fan_out_scan(
+        images.select("image_id", "bytes", "w", "h", "fmt")
+    ).mapInPandas(pool, schema=_RESIZE_SCHEMA)
