@@ -33,7 +33,20 @@ class CompiledConfig:
         return self.layers[name]
 
 
+# The packaged default config is immutable and its compiled form is
+# never mutated downstream (layers/steps are read-only dataclasses, no
+# Column/JVM state is built at load time), so one process-wide compile
+# serves every engine. ~1.3 s per load; the bench constructs 14 engines
+# per run, so this is ~17 s of pure driver fixed cost. Explicit
+# config_dir callers (tests with temp configs) bypass the cache.
+_DEFAULT_CONFIG_CACHE: CompiledConfig | None = None
+
+
 def load_config(config_dir: str | None = None) -> CompiledConfig:
+    global _DEFAULT_CONFIG_CACHE
+    use_cache = config_dir is None
+    if use_cache and _DEFAULT_CONFIG_CACHE is not None:
+        return _DEFAULT_CONFIG_CACHE
     config_dir = config_dir or DEFAULT_CONFIG_DIR
     from osmzen_spark.confio import read_text
 
@@ -56,4 +69,7 @@ def load_config(config_dir: str | None = None) -> CompiledConfig:
             )
         steps.append(PostProcessStep(fn=entry["fn"], params=params))
 
-    return CompiledConfig(layers=layers, postprocess=steps, config_dir=config_dir)
+    cfg = CompiledConfig(layers=layers, postprocess=steps, config_dir=config_dir)
+    if use_cache:
+        _DEFAULT_CONFIG_CACHE = cfg
+    return cfg

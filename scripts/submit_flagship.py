@@ -1,18 +1,23 @@
 """spark-submit entry point (north-rule packaging path):
 
     spark-submit --py-files dist/osmzen_spark.zip scripts/submit_flagship.py \
-        [--sf-dir DIR] [--out DIR] [--zoom 20] [--tile-zoom 14]
+        [--sf-dir DIR] [--out DIR] [--zoom 20] [--tile-zoom 14] [--replicate 1]
 
 Runs the full normalize+tile flagship over the synthetic elements of
 --sf-dir and writes the unioned per-layer output as parquet partitioned
 by (tile_z, tile_x) with a lineage manifest (kill-resume checkpoint,
-lineage.py). With no --out, counts features and prints one JSON line.
+lineage.py). With no --out, measures the pipeline wall, the warm
+feature count, and a steady full-width write (min of two — the same
+protocol as bench.py --scaling), and prints one JSON line — so running
+this artifact under two --master cluster sizes yields the north rule's
+N-vs-4N throughput pair from the literal spark-submit --py-files path.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import time
 
 
 def main():
@@ -21,6 +26,7 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--zoom", type=int, default=20)
     ap.add_argument("--tile-zoom", type=int, default=14)
+    ap.add_argument("--replicate", type=int, default=1)
     args = ap.parse_args()
 
     # import AFTER spark-submit has set up --py-files on sys.path
@@ -30,8 +36,9 @@ def main():
     from osmzen_spark.pipeline.normalize import NormalizeEngine
 
     spark = SparkSession.builder.appName("osmzen-flagship").getOrCreate()
-    elements = synthetic_elements(spark, args.sf_dir)
-    net, rels, way_nodes = synthetic_network(spark, args.sf_dir)
+    t0 = time.time()
+    elements = synthetic_elements(spark, args.sf_dir, replicate=args.replicate)
+    net, rels, way_nodes = synthetic_network(spark, args.sf_dir, replicate=args.replicate)
     engine = NormalizeEngine()
     out = engine.process_unioned(
         elements.unionByName(net),
@@ -46,8 +53,35 @@ def main():
 
         write_stage(out, args.out, stage="flagship")
         print(json.dumps({"status": "written", "out": args.out}))
-    else:
-        print(json.dumps({"status": "ok", "n_features": out.count()}))
+        return
+
+    def _noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    _noop(out)
+    pipeline_sec = time.time() - t0
+    n = out.count()  # warm
+    # steady full-width write: min of two warm runs (one-off GC pauses
+    # must not masquerade as throughput), same protocol as bench.py
+    t0 = time.time()
+    _noop(out)
+    steady_write_sec = time.time() - t0
+    t0 = time.time()
+    _noop(out)
+    steady_write_sec = min(steady_write_sec, time.time() - t0)
+    print(
+        json.dumps(
+            {
+                "status": "ok",
+                "master": spark.sparkContext.master,
+                "n_features": n,
+                "pipeline_sec": round(pipeline_sec, 3),
+                "steady_write_sec": round(steady_write_sec, 3),
+                "pipeline_features_per_sec": round(n / pipeline_sec, 1),
+                "steady_write_features_per_sec": round(n / steady_write_sec, 1),
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
