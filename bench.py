@@ -362,6 +362,26 @@ def main():
             n_features / timings["normalize_tile_pipeline"], 1
         ),
     }
+    # Attach the recorded north-rule scaling evidence (the spark-submit
+    # two-arm run is an hour-long measurement, not something to re-run
+    # inside every bench): a compact pointer + the two headline numbers,
+    # sourced from the committed SCALING_SUBMIT.json artifact.
+    scaling_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "SCALING_SUBMIT.json"
+    )
+    try:
+        with open(scaling_path) as f:
+            rec = json.load(f)
+        headline["scaling_recorded"] = {
+            "arms": [a["master"] for a in rec["arms"]],
+            "steady_write_fps": [
+                a["steady_write_features_per_sec"] for a in rec["arms"]
+            ],
+            "efficiency": rec["efficiency_steady_write_1_to_4_executors"],
+            "source": "SCALING_SUBMIT.json",
+        }
+    except (OSError, KeyError, ValueError):
+        pass
     # Raw protocol series (first cold run + immediate warm re-run per
     # query) go to a sidecar file: the driver captures only the LAST
     # 2000 chars of stdout and parses the final line as JSON, so the
