@@ -1017,6 +1017,28 @@ def q_image_resize(spark, sf_dir):
     ).orderBy("image_id")
 
 
+def q_image_augment(spark, sf_dir):
+    """Multimodal augmentation stage, byte-exact: decode (raw + stdlib
+    PNG + baseline JPEG) -> horizontal flip -> center crop 8x8 -> 6x6
+    -> per-channel integer contrast stretch -> raw RGB bytes, compared
+    as a full hex dump. The DuckDB oracle re-derives every augmented
+    byte from the arithmetic pixel pattern (flip is x -> 7-x, the
+    stretch is (v-min)*255 // (max-min) over the cropped window), so a
+    decode, flip-direction, crop-offset, stretch-rounding, or layout
+    bug breaks the hash."""
+    from osmzen_spark.datagen import synthetic_images
+    from osmzen_spark.payload.images import augment_images
+
+    imgs = synthetic_images(spark, sf_dir)
+    a = augment_images(imgs, flip=True, crop=6, normalize=True)
+    return a.select(
+        "image_id",
+        "out_w",
+        "out_h",
+        F.hex(F.col("augmented")).alias("augmented_hex"),
+    ).orderBy("image_id")
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (ops/asof.py): every click event matched to the same
     user's most recent prior view event — the union-and-window plan
@@ -1386,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "embedding_near_dup": q_embedding_near_dup,
         "image_resize": q_image_resize,
+        "image_augment": q_image_augment,
         "audio_features": q_audio_features,
         "video_frame_sample": q_video_frame_sample,
         "asof_join": q_asof_join,
@@ -2355,6 +2378,31 @@ def oracle_sql() -> dict[str, str]:
                upper(string_agg(lpad(to_hex(pv), 2, '0'), ''
                      ORDER BY py, qx, c)) AS resized_hex
         FROM pooled GROUP BY k
+        ORDER BY image_id
+    """
+    # augmentation stage: flip (x -> 7-x), center crop (offset 1 on an
+    # 8x8 -> 6x6), then the per-channel integer contrast stretch over
+    # the CROPPED window — (v - min)*255 // (max - min), 0 when the
+    # channel is constant — every byte re-derived from the pattern
+    d["image_augment"] = f"""
+        WITH {img_px}, cropped AS (
+          SELECT k, (7 - x) - 1 AS x, y - 1 AS y, c, v
+          FROM px
+          WHERE (7 - x) BETWEEN 1 AND 6 AND y BETWEEN 1 AND 6
+        ), st AS (
+          SELECT k, c, MIN(v) AS mn, MAX(v) AS mx
+          FROM cropped GROUP BY k, c
+        ), norm AS (
+          SELECT cropped.k, x, y, cropped.c,
+                 CASE WHEN mx > mn THEN ((v - mn) * 255) // (mx - mn)
+                      ELSE 0 END AS nv
+          FROM cropped JOIN st ON cropped.k = st.k AND cropped.c = st.c
+        )
+        SELECT 'img-' || k AS image_id,
+               6 AS out_w, 6 AS out_h,
+               upper(string_agg(lpad(to_hex(nv), 2, '0'), ''
+                     ORDER BY y, x, c)) AS augmented_hex
+        FROM norm GROUP BY k
         ORDER BY image_id
     """
     # as-of join: DuckDB's native ASOF LEFT JOIN is the oracle for the

@@ -152,6 +152,8 @@ def run_operator_bench(spark, sf_dir):
         "phash_near_dup",
         "image_channel_stats",
         "image_features",
+        "image_resize",
+        "image_augment",
         "audio_features",
         "video_frame_sample",
         "assemble_buildings",

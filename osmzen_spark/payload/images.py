@@ -441,3 +441,72 @@ def resize_images(images: DataFrame, factor: int = 2) -> DataFrame:
     return fan_out_scan(
         images.select("image_id", "bytes", "w", "h", "fmt")
     ).mapInPandas(pool, schema=_RESIZE_SCHEMA)
+
+
+_AUGMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("augmented", T.BinaryType()),
+    ]
+)
+
+
+def augment_images(
+    images: DataFrame,
+    flip: bool = True,
+    crop: int | None = 6,
+    normalize: bool = True,
+) -> DataFrame:
+    """Deterministic augmentation stage of a multimodal training
+    pipeline: horizontal flip -> center crop to ``crop`` x ``crop`` ->
+    per-channel integer contrast stretch, as one mapInPandas batch op
+    (decode included; no shuffle — augmentation is embarrassingly
+    parallel, and fan_out_scan is a no-op on any real-scale table).
+
+    Every step is integer-exact so a SQL oracle re-derives every output
+    byte (driver query q_image_augment compares the full hex dump):
+    flip is x -> w-1-x; crop keeps the centered window at offset
+    (w - crop) // 2; the stretch maps v -> (v - min_c) * 255 //
+    (max_c - min_c) per channel over the CROPPED window (0 when the
+    channel is constant). Training augmentations are normally sampled
+    per epoch; determinism here is the oracle contract — a seeded
+    variant just derives (flip, offset) from a hash of (image_id,
+    epoch) the same way hash_split derives bucket assignment."""
+
+    def aug(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            imgs = decode_image_batch(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])
+            out_bytes, ows, ohs = [], [], []
+            for im in imgs:
+                if flip:
+                    im = im[:, ::-1, :]
+                h, w, _ = im.shape
+                if crop is not None and crop < min(h, w):
+                    oy, ox = (h - crop) // 2, (w - crop) // 2
+                    im = im[oy : oy + crop, ox : ox + crop, :]
+                    h = w = crop
+                a = im.astype(np.int64)
+                if normalize:
+                    mn = a.min(axis=(0, 1))
+                    mx = a.max(axis=(0, 1))
+                    rng = np.maximum(mx - mn, 1)
+                    a = np.where(mx > mn, (a - mn) * 255 // rng, 0)
+                out_bytes.append(a.astype(np.uint8).tobytes())
+                ows.append(w)
+                ohs.append(h)
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"].values,
+                    "out_w": np.array(ows, dtype=np.int32),
+                    "out_h": np.array(ohs, dtype=np.int32),
+                    "augmented": out_bytes,
+                }
+            )
+
+    return fan_out_scan(
+        images.select("image_id", "bytes", "w", "h", "fmt")
+    ).mapInPandas(aug, schema=_AUGMENT_SCHEMA)

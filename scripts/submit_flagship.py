@@ -36,6 +36,27 @@ def main():
     from osmzen_spark.pipeline.normalize import NormalizeEngine
 
     spark = SparkSession.builder.appName("osmzen-flagship").getOrCreate()
+    # Engine-required session confs (mirrors osmzen_spark.session.get_spark),
+    # applied only where the submitter didn't set them explicitly. The
+    # critical one is constraintPropagation=false: Catalyst's constraint
+    # inference is super-linear on the 556-rule when-chain projections and
+    # OOMs/stalls the driver without it (see session.py). The rest keep
+    # Arrow exchange, codegen on wide projections, and UTC semantics on
+    # regardless of the submitting environment.
+    submitted = spark.sparkContext.getConf()
+    for k, v in (
+        ("spark.sql.constraintPropagation.enabled", "false"),
+        ("spark.sql.codegen.maxFields", "400"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.execution.arrow.maxRecordsPerBatch", "10000"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        ("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)),
+    ):
+        if not submitted.contains(k):
+            spark.conf.set(k, v)
     t0 = time.time()
     elements = synthetic_elements(spark, args.sf_dir, replicate=args.replicate)
     net, rels, way_nodes = synthetic_network(spark, args.sf_dir, replicate=args.replicate)

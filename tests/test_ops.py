@@ -211,6 +211,35 @@ def test_png_payload_psnr_gate(spark):
     assert abs(feats["brightness"] - img.mean()) < 1e-9
 
 
+def test_augment_images_flip_crop_stretch(spark):
+    """augment_images: flip -> center crop -> per-channel contrast
+    stretch, verified byte-for-byte against an independent numpy
+    re-derivation, plus the constant-channel -> 0 edge case."""
+    import numpy as np
+
+    from osmzen_spark.payload.images import augment_images
+
+    img = (np.arange(8 * 8 * 3, dtype=np.int64) * 40503 % 256).astype(
+        np.uint8
+    ).reshape(8, 8, 3)
+    img[:, :, 2] = 17  # constant blue channel -> stretch must emit 0
+    rows = [("aug-1", bytearray(img.tobytes()), 8, 8, "raw", "cap", 0)]
+    df = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
+    )
+    got = augment_images(df, flip=True, crop=6, normalize=True).collect()[0]
+    assert (got["out_w"], got["out_h"]) == (6, 6)
+    cr = img[:, ::-1, :][1:7, 1:7, :].astype(np.int64)
+    mn, mx = cr.min(axis=(0, 1)), cr.max(axis=(0, 1))
+    exp = np.where(mx > mn, (cr - mn) * 255 // np.maximum(mx - mn, 1), 0)
+    assert bytes(got["augmented"]) == exp.astype(np.uint8).tobytes()
+    assert exp[:, :, 2].max() == 0
+    # flip-only path: pure mirror of the raw bytes
+    plain = augment_images(df, flip=True, crop=None, normalize=False).collect()[0]
+    assert bytes(plain["augmented"]) == img[:, ::-1, :].tobytes()
+
+
 def test_ivf_full_probe_equals_bruteforce(spark):
     """With nprobe = n_centroids the IVF candidate set is every point
     except self, so IVF-flat must reproduce the exact brute-force

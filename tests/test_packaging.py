@@ -57,6 +57,12 @@ def test_spark_submit_py_files_smoke(tmp_path):
             "spark-submit",
             "--master",
             "local[4]",
+            # local-mode driver and executors share one heap; the 1g
+            # spark-submit default OOMs under the cached fan-out plus
+            # the steady-write throughput probes (every deployment
+            # sizes this — run_submit_scaling.sh uses 12g)
+            "--driver-memory",
+            "4g",
             "--conf",
             "spark.ui.enabled=false",
             "--conf",
