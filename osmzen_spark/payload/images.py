@@ -239,9 +239,24 @@ def with_image_hashes(images: DataFrame) -> DataFrame:
             if len(pdf) == 0:
                 continue
             imgs = decode_image_batch(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])
-            means = np.array([im.reshape(-1, 3).mean(axis=0) for im in imgs])
-            hashes = np.array([luma_ahash64(im) for im in imgs], dtype=np.int64)
-            u = hashes.astype(np.uint64)
+            if len({im.shape for im in imgs}) == 1 and imgs[0].shape == (8, 8, 3):
+                # uniform 8x8 batch (the ahash frame size): one stacked
+                # pass replaces ~52 us/img of per-image numpy dispatch
+                # with whole-batch arithmetic — same integers bit-for-bit
+                arr = np.stack(imgs).astype(np.int64)
+                n = arr.shape[0]
+                means = arr.reshape(n, -1, 3).mean(axis=1)
+                luma = (
+                    299 * arr[..., 0] + 587 * arr[..., 1] + 114 * arr[..., 2]
+                ).reshape(n, 64)
+                totals = luma.sum(axis=1)
+                bits = (64 * luma > totals[:, None]).astype(np.uint64)
+                weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+                u = (bits * weights).sum(axis=1, dtype=np.uint64)
+            else:
+                means = np.array([im.reshape(-1, 3).mean(axis=0) for im in imgs])
+                hashes = np.array([luma_ahash64(im) for im in imgs], dtype=np.int64)
+                u = hashes.astype(np.uint64)
             yield pd.DataFrame(
                 {
                     "image_id": pdf["image_id"].values,
@@ -282,12 +297,24 @@ def phash_dedup_pairs(
     a = banded.select(F.col("id").alias("id_a"), F.col("ph").alias("ph_a"), "bk")
     b = banded.select(F.col("id").alias("id_b"), F.col("ph").alias("ph_b"), "bk")
     hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    # A pair within hamming <= bands-1 can share SEVERAL bands; instead
+    # of dedup-by-aggregation (a second full shuffle over every joined
+    # candidate — measured 9.5M rows at sf0.1), keep a candidate only
+    # in its FIRST matching band: bit math on the two hashes already in
+    # the row, zero extra exchange. Exactly-once emission per pair is
+    # structural (every duplicate hit has the same hamming, so first-
+    # match keeps the identical row the old min() aggregation kept).
+    band_idx = F.shiftrightunsigned(F.col("bk"), 32).cast("int")
+    first_match = F.lit(True)
+    for earlier in range(bands - 1):
+        same_band = F.shiftrightunsigned(F.col("ph_a"), earlier * width).bitwiseAND(
+            F.lit(mask)
+        ) == F.shiftrightunsigned(F.col("ph_b"), earlier * width).bitwiseAND(F.lit(mask))
+        first_match = first_match & ~((band_idx > earlier) & same_band)
     return (
         a.join(b, on="bk")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("id_a") < F.col("id_b")) & first_match)
         .select("id_a", "id_b", hamming.alias("hamming"))
-        .groupBy("id_a", "id_b")
-        .agg(F.min("hamming").alias("hamming"))
     )
 
 
