@@ -52,6 +52,15 @@ def get_spark(
         # constraints buy nothing here — every predicate is already
         # explicit — so turn it off engine-wide.
         .config("spark.sql.constraintPropagation.enabled", "false")
+        # every decorated DataFrame API call otherwise does TWO extra
+        # py4j round trips (set_current_origin + clear) plus a Python
+        # stack walk to record an error call-site. The engine's plan
+        # builders make thousands of API calls per query (measured:
+        # 7.8k round trips / 6.4s of socket wait building the 9-layer
+        # plan at sf0.01), so this debugging nicety is a material part
+        # of the driver fixed cost F. Error messages stay intact —
+        # only the "user line number" enrichment is dropped.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # single-JVM local mode: the "driver" heap is also every
         # executor's heap, and Catalyst holds multi-layer plans during
         # optimization — size generously (the box has 128 GiB)
