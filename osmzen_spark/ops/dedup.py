@@ -429,26 +429,26 @@ def dedup_components(
         stepped = labels.join(neigh, labels["node"] == neigh["u"], "left").select(
             labels["node"].alias("node"),
             F.least(labels["label"], F.coalesce("nlabel", labels["label"])).alias("label"),
+            labels["label"].alias("__old"),
         )
         # pointer jump: label <- label(label). Min-propagation only ever
         # lowers labels, so label(label) <= label and least() is exact.
         lut = stepped.select(
             F.col("node").alias("__ln"), F.col("label").alias("__ll")
         )
+        # __old rides along so convergence is a flag-count over this
+        # (already materialized) checkpoint — no labels-vs-labels
+        # shuffle join per round just to count changes.
         new_labels = (
             stepped.join(lut, stepped["label"] == lut["__ln"], "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("__ll", F.col("label"))).alias("label"),
+                F.col("__old"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = new_labels.filter(F.col("label") != F.col("__old")).count()
         _free_local_checkpoint(labels)  # previous round no longer referenced
         labels = new_labels
         if changed == 0:
