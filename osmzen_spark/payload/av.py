@@ -349,21 +349,35 @@ def sample_frames(video: DataFrame, every: int = 2) -> DataFrame:
             ):
                 if fmt == "rawv":
                     clip = np.frombuffer(blob, dtype=np.uint8).reshape(nf, h, w, 3)
+
+                    def get_frame(i, _clip=clip):
+                        return _clip[i]
                 elif fmt == "mjpeg":
                     from osmzen_spark.payload.jpeg import decode_baseline
 
-                    clip = np.stack(
-                        [decode_baseline(fr) for fr in split_mjpeg_frames(bytes(blob))]
-                    )
-                    if clip.shape != (nf, h, w, 3):
-                        raise ValueError(f"MJPEG clip shape {clip.shape} != declared")
+                    # decode ONLY the sampled frames: frame boundaries
+                    # come from a cheap marker scan, so skipped frames
+                    # cost zero Huffman/IDCT work (at every=2 this
+                    # halves the decode bill; a real keyframe sampler
+                    # has the same shape — seek, don't transcode)
+                    frames_b = split_mjpeg_frames(bytes(blob))
+                    if len(frames_b) != nf:
+                        raise ValueError(
+                            f"MJPEG clip has {len(frames_b)} frames != declared {nf}"
+                        )
+
+                    def get_frame(i, _fb=frames_b, _h=h, _w=w):
+                        fr = decode_baseline(_fb[i])
+                        if fr.shape != (_h, _w, 3):
+                            raise ValueError(f"MJPEG frame shape {fr.shape} != declared")
+                        return fr
                 else:
                     raise NotImplementedError(
                         f"video codec {fmt!r}: no media libraries in this container; "
                         "a libav keyframe extraction slots in here"
                     )
                 for f_idx in range(0, nf, every):
-                    frame = clip[f_idx]
+                    frame = get_frame(f_idx)
                     csum = frame.reshape(-1, 3).sum(axis=0, dtype=np.int64)
                     vids.append(vid)
                     fidxs.append(f_idx)
