@@ -65,6 +65,20 @@ def get_spark(
         # executor's heap, and Catalyst holds multi-layer plans during
         # optimization — size generously (the box has 128 GiB)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # the rule engine generates LOTS of wide whole-stage-codegen
+        # classes; the JVM default 240 MB code cache fills over a long
+        # session and JIT quietly degrades to interpreted execution
+        # (the "JVM aging" that inflated late bench queries ~3x).
+        # 512 MB + flushing is the standard Spark recommendation for
+        # codegen-heavy workloads. Only takes effect at JVM launch —
+        # harmless on an already-running session.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_DRIVER_JAVA_OPTIONS",
+                "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing",
+            ),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
