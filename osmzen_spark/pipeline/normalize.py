@@ -94,6 +94,15 @@ class NormalizeEngine:
           compression), scans come back vectorized. This IS the
           cluster design (the Iceberg stage checkpoint, lineage.py),
           so the bench runs it.
+        * ``lineage``: parquet checkpoint THROUGH lineage.run_stage —
+          each stage directory additionally gets per-bucket lineage
+          rows (row count, order-independent xor checksum, cell range)
+          and an atomic manifest, and a re-run with the same
+          OSMZEN_CHECKPOINT_DIR validates each stage and RESUMES from
+          it without recompute (the north rule's kill-resume
+          semantics; on a real cluster the sink is an Iceberg table
+          and the manifest is its snapshot commit). Costs one extra
+          map-side-combinable aggregation per stage.
         """
         import os
         import tempfile
@@ -106,7 +115,7 @@ class NormalizeEngine:
         void_cols = [f.name for f in df.schema.fields if f.dataType.typeName() == "void"]
         if void_cols:
             df = df.withColumns({c: F.col(c).cast("string") for c in void_cols})
-        if mode == "parquet":
+        if mode in ("parquet", "lineage"):
             # always eager by construction: the write IS the
             # materialization (eager=False has no lazy analog here)
             if self._ckpt_dir is None:
@@ -122,6 +131,27 @@ class NormalizeEngine:
                     atexit.register(shutil.rmtree, self._ckpt_dir, ignore_errors=True)
             self._ckpt_seq += 1
             path = f"{self._ckpt_dir}/{self._ckpt_seq:03d}_{name}"
+            if mode == "lineage":
+                from osmzen_spark.lineage import run_stage
+
+                # deterministic 64-way bucket over the element id: the
+                # lineage key a resume validates against. Stage paths
+                # are (seq, name)-deterministic, so a re-run with the
+                # same OSMZEN_CHECKPOINT_DIR lands on the same
+                # directories and reloads every validated stage.
+                key = "element_id" if "element_id" in df.columns else df.columns[0]
+                bucketed = df.withColumn(
+                    "__bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(64))
+                )
+                out = run_stage(
+                    df.sparkSession,
+                    path,
+                    stage=name,
+                    bucket_col="__bucket",
+                    compute=lambda: bucketed,
+                    cell_col="cell" if "cell" in df.columns else None,
+                )
+                return out.drop("__bucket")
             df.write.mode("overwrite").parquet(path)
             return df.sparkSession.read.parquet(path)
         out = df.localCheckpoint(eager=eager)

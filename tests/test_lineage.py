@@ -51,3 +51,72 @@ def test_corruption_detected(spark, tmp_path):
 
 def test_missing_manifest_invalid(spark, tmp_path):
     assert not validate_stage(spark, str(tmp_path / "nope"))
+
+
+def test_engine_lineage_mode_resumes(spark, tmp_path, monkeypatch):
+    """OSMZEN_STAGE_CHECKPOINT=lineage: the engine's stage cuts write
+    per-bucket lineage + manifest, and a second pipeline run with the
+    same checkpoint dir RELOADS each validated stage instead of
+    recomputing it (stage data files untouched) — the north rule's
+    kill-resume at stage granularity, identical output rows."""
+    from tests.conftest import PARKING_GARAGE_RING, PARKING_GARAGE_TAGS, make_elements
+
+    monkeypatch.setenv("OSMZEN_STAGE_CHECKPOINT", "lineage")
+    monkeypatch.setenv("OSMZEN_CHECKPOINT_DIR", str(tmp_path))
+    from osmzen_spark.pipeline.normalize import NormalizeEngine
+
+    geometry = {
+        "xs": [p[0] for p in PARKING_GARAGE_RING],
+        "ys": [p[1] for p in PARKING_GARAGE_RING],
+        "ring_lens": [len(PARKING_GARAGE_RING)],
+        "ring_roles": [0],
+    }
+    elements = make_elements(
+        spark,
+        [(1, "way", PARKING_GARAGE_TAGS, "Polygon", geometry)],
+    )
+    # a membership arg forces the "derived" stage cut; cache=True the eval one
+    from pyspark.sql import types as T
+
+    rels = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("relation_id", T.LongType()),
+                T.StructField("member_type", T.StringType()),
+                T.StructField("member_id", T.LongType()),
+                T.StructField("member_role", T.StringType()),
+                T.StructField("rel_tags", T.MapType(T.StringType(), T.StringType())),
+            ]
+        ),
+    )
+    out1 = (
+        NormalizeEngine()
+        .process_unioned(elements, zoom=16, tile_zoom=14, cache=True, relation_members=rels)
+        .select("element_id", "zen_layer", "kind")
+        .collect()
+    )
+    # lineage artifacts exist for every stage directory
+    import os
+
+    stages = sorted(os.listdir(tmp_path))
+    assert stages, "no stage checkpoints written"
+    for s in stages:
+        assert os.path.exists(os.path.join(tmp_path, s, "_lineage_manifest.json")), s
+    mtimes = {
+        s: os.path.getmtime(os.path.join(tmp_path, s, "_lineage_manifest.json"))
+        for s in stages
+    }
+    # second run, fresh engine, same checkpoint dir -> resumes
+    out2 = (
+        NormalizeEngine()
+        .process_unioned(elements, zoom=16, tile_zoom=14, cache=True, relation_members=rels)
+        .select("element_id", "zen_layer", "kind")
+        .collect()
+    )
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    for s in stages:
+        assert (
+            os.path.getmtime(os.path.join(tmp_path, s, "_lineage_manifest.json"))
+            == mtimes[s]
+        ), f"stage {s} was recomputed on resume"
