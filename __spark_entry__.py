@@ -681,6 +681,30 @@ def q_dedup_groups(spark, sf_dir):
     return dedup_components(pairs).orderBy("doc_id")
 
 
+def q_near_dup_curate(spark, sf_dir):
+    """The canonical near-dup curation step end to end: n-gram Jaccard
+    pairs -> connected-component groups -> DROP every non-representative
+    (keep the component-minimum doc), emitting the surviving corpus.
+    Scale shape: the dropped-id set is at most the near-dup population
+    (tiny vs the corpus at production thresholds), so it BROADCASTS
+    into a left_anti join and the corpus is never shuffled — the same
+    never-reshuffle-the-fact-table pattern as the engine's point dedup.
+    The DuckDB oracle re-derives pairs, closes them with a recursive
+    CTE, and subtracts the same non-representatives."""
+    from osmzen_spark.ops.dedup import dedup_components, ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", k=3, min_jaccard=0.5)
+    dropped = dedup_components(pairs).filter(
+        F.col("doc_id") != F.col("rep_id")
+    ).select("doc_id")
+    return (
+        docs.join(F.broadcast(dropped), "doc_id", "left_anti")
+        .select("doc_id", F.length("text").cast("long").alias("text_len"))
+        .orderBy("doc_id")
+    )
+
+
 def q_route_networks(spark, sf_dir):
     """Relation-membership joins (ref:filter/functions.go:161-383):
     bicycle-network resolution, bus-route flag, and path-major-route
@@ -1412,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_ann": q_pq_ann,
         "skew_tile_join": q_skew_tile_join,
         "dedup_groups": q_dedup_groups,
+        "near_dup_curate": q_near_dup_curate,
         "ngram_jaccard": q_ngram_jaccard,
         "route_networks": q_route_networks,
         "gate_min_zoom": q_gate_min_zoom,
@@ -2283,6 +2308,28 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT u AS doc_id, MIN(v) AS rep_id
         FROM reach GROUP BY u ORDER BY doc_id
+    """
+    d["near_dup_curate"] = f"""
+        WITH RECURSIVE pairs AS ({d["ngram_jaccard"]}),
+        und AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION
+          SELECT id_b AS u, id_a AS v FROM pairs
+        ),
+        reach(u, v) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM und)
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+        ),
+        groups AS (
+          SELECT u AS doc_id, MIN(v) AS rep_id FROM reach GROUP BY u
+        )
+        SELECT d.doc_id, CAST(LENGTH(d.text) AS BIGINT) AS text_len
+        FROM documents d
+        WHERE d.doc_id NOT IN (
+          SELECT doc_id FROM groups WHERE doc_id != rep_id
+        )
+        ORDER BY d.doc_id
     """
     # skewed tile join: the salt changes the physical plan, not the
     # result — the oracle is the plain join + group

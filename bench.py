@@ -149,6 +149,7 @@ OPS_QUERIES = (
     "pq_ann",
     "skew_tile_join",
     "dedup_groups",
+    "near_dup_curate",
     "ngram_jaccard",
     "embedding_near_dup",
     "sessionize",
