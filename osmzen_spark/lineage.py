@@ -73,6 +73,7 @@ def write_stage(
     manifest = {
         "stage": stage,
         "bucket_col": bucket_col,
+        "cell_col": cell_col if (cell_col and cell_col in data.columns) else None,
         "n_rows": int(totals["rows"] or 0),
         "n_buckets": int(totals["buckets"]),
     }
@@ -81,10 +82,20 @@ def write_stage(
     return manifest
 
 
-def validate_stage(spark: SparkSession, path: str, bucket_col: str | None = None) -> bool:
+def validate_stage(
+    spark: SparkSession, path: str, bucket_col: str | None = None, deep: bool = False
+) -> bool:
     """A checkpoint is resumable iff the manifest exists and the stored
     lineage matches a recount of the data files (detects partial/corrupt
-    writes after a kill)."""
+    writes after a kill).
+
+    `deep=True` additionally re-derives the full per-bucket lineage
+    (count, xor checksum, cell range) from the data files and compares
+    it row-for-row against the stored `_lineage/` table — catches
+    corruption that preserves row counts (a torn page, a re-written
+    value) at the cost of one extra scan. Cheap relative to the
+    recompute it guards, so resume paths that feed downstream stages
+    should prefer it."""
     mpath = os.path.join(path, MANIFEST)
     if not os.path.exists(mpath):
         return False
@@ -99,7 +110,25 @@ def validate_stage(spark: SparkSession, path: str, bucket_col: str | None = None
     if n != manifest["n_rows"]:
         return False
     stored = int(lin.agg(F.sum("n_rows")).collect()[0][0] or 0)
-    return stored == n
+    if stored != n:
+        return False
+    if not deep:
+        return True
+    fresh = lineage_frame(
+        data, manifest.get("bucket_col", bucket_col or "bucket"), manifest.get("cell_col")
+    )
+    cmp_cols = ["n_rows", "checksum"]
+    if "cell_col" in manifest:  # older manifests didn't record it; their
+        cmp_cols += ["cell_min", "cell_max"]  # stored ranges can't be re-derived
+    # full outer join on bucket: any bucket missing on either side or
+    # any mismatching aggregate is corruption
+    joined = lin.alias("s").join(fresh.alias("f"), "bucket", "full_outer")
+    bad = joined.filter(
+        " OR ".join(
+            f"(s.{c} IS DISTINCT FROM f.{c})" for c in cmp_cols
+        )
+    )
+    return bad.limit(1).count() == 0
 
 
 def run_stage(
@@ -109,10 +138,11 @@ def run_stage(
     bucket_col: str,
     compute,  # () -> DataFrame
     cell_col: str | None = "cell",
+    deep: bool = False,
 ) -> DataFrame:
     """Resume-or-compute: reload a validated checkpoint, else compute,
     checkpoint, and return the reloaded (pruned-scan-friendly) data."""
-    if validate_stage(spark, path):
+    if validate_stage(spark, path, deep=deep):
         return spark.read.parquet(os.path.join(path, "data"))
     df = compute()
     write_stage(df, path, stage, bucket_col, cell_col)

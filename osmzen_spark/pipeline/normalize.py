@@ -150,6 +150,10 @@ class NormalizeEngine:
                     bucket_col="__bucket",
                     compute=lambda: bucketed,
                     cell_col="cell" if "cell" in df.columns else None,
+                    # deep: resume re-derives per-bucket checksums and
+                    # cell ranges (catches corruption that preserves
+                    # row counts — object stores have no CRC sidecar)
+                    deep=os.environ.get("OSMZEN_CHECKPOINT_DEEP", "") == "1",
                 )
                 return out.drop("__bucket")
             df.write.mode("overwrite").parquet(path)

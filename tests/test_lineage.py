@@ -53,6 +53,56 @@ def test_missing_manifest_invalid(spark, tmp_path):
     assert not validate_stage(spark, str(tmp_path / "nope"))
 
 
+def test_deep_validation_catches_same_count_corruption(spark, tmp_path):
+    """A torn/rewritten value that preserves row counts passes the
+    shallow (count-only) check but must fail the deep per-bucket
+    checksum comparison."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "stage4")
+    write_stage(_df(spark), path, "stage4", "bucket_key")
+    assert validate_stage(spark, path, deep=True)  # clean checkpoint
+
+    data_dir = os.path.join(path, "data")
+    part = next(f for f in sorted(os.listdir(data_dir)) if f.endswith(".parquet"))
+    fpath = os.path.join(data_dir, part)
+    tbl = pq.read_table(fpath)
+    col = tbl["payload"].to_pylist()
+    col[0] = "corrupted"
+    tbl = tbl.set_column(tbl.schema.get_field_index("payload"), "payload", [col])
+    pq.write_table(tbl, fpath)
+    # drop the Hadoop local-FS CRC sidecar: on the object stores a real
+    # deployment writes to there is no sidecar, so the I/O layer cannot
+    # catch this — exactly the gap deep validation covers
+    crc = os.path.join(data_dir, f".{part}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    assert validate_stage(spark, path)  # row count unchanged: shallow passes
+    assert not validate_stage(spark, path, deep=True)  # checksum mismatch
+
+
+def test_deep_validation_catches_cell_range_drift(spark, tmp_path):
+    """Deep validation also re-derives the cell range per bucket."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "stage5")
+    write_stage(_df(spark), path, "stage5", "bucket_key")
+    data_dir = os.path.join(path, "data")
+    part = next(f for f in sorted(os.listdir(data_dir)) if f.endswith(".parquet"))
+    fpath = os.path.join(data_dir, part)
+    tbl = pq.read_table(fpath)
+    col = tbl["cell"].to_pylist()
+    col[0] = 10**12  # push the bucket's cell_max past the recorded range
+    tbl = tbl.set_column(tbl.schema.get_field_index("cell"), "cell", [col])
+    pq.write_table(tbl, fpath)
+    crc = os.path.join(data_dir, f".{part}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    assert validate_stage(spark, path)  # proves the read itself succeeds
+    assert not validate_stage(spark, path, deep=True)
+
+
 def test_engine_lineage_mode_resumes(spark, tmp_path, monkeypatch):
     """OSMZEN_STAGE_CHECKPOINT=lineage: the engine's stage cuts write
     per-bucket lineage + manifest, and a second pipeline run with the
