@@ -1383,6 +1383,52 @@ def q_image_channel_stats(spark, sf_dir):
     return with_channel_stats(imgs)
 
 
+def q_repetition_filter(spark, sf_dir):
+    """Gopher-style word-n-gram repetition statistics per document
+    (top-bigram coverage + duplicate-trigram coverage), the standard
+    template/spam gate of a training-data curation pipeline. All
+    statistics are doc-local, so the operator is one shuffle-free
+    Arrow pass; fractions are exact-integer-valued doubles divided
+    once, so the oracle is bit-exact."""
+    from osmzen_spark.ops.repetition import repetition_stats
+
+    # the single-file sandbox table bin-packs into one scan partition,
+    # which would serialize the Arrow pass onto one core; a real
+    # 100 TB table arrives in thousands of splits, so the fan-out is a
+    # sandbox-only no-op at scale (same fix as the payload scans)
+    docs = _read(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return repetition_stats(docs).orderBy("doc_id")
+
+
+def q_bm25_rank(spark, sf_dir):
+    """BM25 top-5 documents per query term (rational-idf variant —
+    log()'s last ulp is libm-specific, the rational form keeps every
+    arithmetic step exactly rounded and hash-reproducible). Term
+    filter is pushed below the shuffle; corpus stats and document
+    frequencies are broadcast back onto the scored rows."""
+    from osmzen_spark.ops.ranking import bm25_rank
+
+    docs = _read(spark, sf_dir, "documents")
+    return bm25_rank(docs, terms=["table", "join", "window"], k=5).orderBy(
+        "term", "bm25_rank"
+    )
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (cluster-then-compare semantic deduplication): k-means
+    assignment via one argmax matmul per Arrow batch, within-cluster
+    exact-cosine pairs only, keep-lowest-id survivors. The DuckDB
+    oracle re-derives the whole thing from the embedded centroid
+    codebook."""
+    from osmzen_spark.ops.similarity import ivf_centroids, semantic_dedup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    res = semantic_dedup(emb, ivf_centroids(64, 16), threshold=0.40, dim=64)
+    return res.select("vec_id", F.col("cid").cast("int").alias("cid")).orderBy("vec_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full normalize+tile over synthetic elements (buildings/
     pois/landuse polygons + road/path network with relation memberships)
@@ -1463,6 +1509,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simplify_lines": q_simplify_lines,
         "phash_near_dup": q_phash_near_dup,
         "snap_to_road": q_snap_to_road,
+        "repetition_filter": q_repetition_filter,
+        "bm25_rank": q_bm25_rank,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -2885,5 +2934,115 @@ def oracle_sql() -> dict[str, str]:
           FROM dists WHERE d2 <= 1.0
         ) WHERE rn = 1
         ORDER BY point_id
+    """
+    # Gopher-style repetition stats: word n-grams re-derived with
+    # 1-indexed list slicing (range(1, len) = bigram starts); the
+    # fractions are exact-integer doubles divided once, so the hash is
+    # bit-exact. NULL handling (coalesce BEFORE greatest) is spelled
+    # identically on both engines — they disagree on greatest(NULL, x).
+    d["repetition_filter"] = """
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), b AS (
+          SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+          FROM w, UNNEST(range(1, len(ws))) AS tb(i)
+        ), bc AS (
+          SELECT doc_id, g, COUNT(*) AS c FROM b GROUP BY doc_id, g
+        ), bs AS (
+          SELECT doc_id, SUM(c) AS b_n, MAX(c) AS b_top FROM bc GROUP BY doc_id
+        ), tg AS (
+          SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+          FROM w, UNNEST(range(1, len(ws) - 1)) AS tt(i)
+        ), tc AS (
+          SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY doc_id, g
+        ), ts AS (
+          SELECT doc_id, SUM(c) AS t_n,
+                 SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS t_dup
+          FROM tc GROUP BY doc_id
+        )
+        SELECT w.doc_id,
+               CAST(COALESCE(bs.b_n, 0) AS BIGINT) AS n_bigrams,
+               CAST(COALESCE(bs.b_top, 0) AS BIGINT) AS top_bigram_n,
+               CAST(COALESCE(bs.b_top, 0) AS DOUBLE)
+                 / CAST(GREATEST(COALESCE(bs.b_n, 0), 1) AS DOUBLE)
+                 AS top_bigram_frac,
+               CAST(COALESCE(ts.t_dup, 0) AS DOUBLE)
+                 / CAST(GREATEST(COALESCE(ts.t_n, 0), 1) AS DOUBLE)
+                 AS dup_trigram_frac
+        FROM w LEFT JOIN bs USING (doc_id) LEFT JOIN ts USING (doc_id)
+        ORDER BY doc_id
+    """
+    # BM25 (rational idf): every float constant that is not exactly
+    # representable is inlined as a string-parsed double (strtod is
+    # correctly rounded; DuckDB's bare decimal literals are DECIMAL,
+    # whose wide int128->double conversion need not match) and every
+    # expression mirrors ops/ranking.py's parenthesization, so the
+    # score doubles are bit-identical.
+    from osmzen_spark.ops.ranking import B as _b, K1 as _k1, K1_PLUS_1, ONE_MINUS_B
+
+    _terms_sql = "('table', 'join', 'window')"
+    d["bm25_rank"] = f"""
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), stats AS (
+          SELECT COUNT(*) AS n_docs,
+                 CAST(SUM(len(ws)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+          FROM w
+        ), tf AS (
+          SELECT doc_id, len(ws) AS dl, term, COUNT(*) AS tf
+          FROM w, UNNEST(ws) AS u(term)
+          WHERE term IN {_terms_sql}
+          GROUP BY doc_id, len(ws), term
+        ), dfq AS (
+          SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ), scored AS (
+          SELECT tf.term, tf.doc_id, tf.tf, dfq.df, tf.dl,
+                 ((CAST(s.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE)
+                    + CAST('0.5' AS DOUBLE))
+                  / (CAST(dfq.df AS DOUBLE) + CAST('0.5' AS DOUBLE)))
+                 * ((CAST(tf.tf AS DOUBLE) * CAST('{K1_PLUS_1!r}' AS DOUBLE))
+                    / (CAST(tf.tf AS DOUBLE)
+                       + CAST('{_k1!r}' AS DOUBLE)
+                         * (CAST('{ONE_MINUS_B!r}' AS DOUBLE)
+                            + CAST('{_b!r}' AS DOUBLE)
+                              * (CAST(tf.dl AS DOUBLE) / s.avgdl))))
+                 AS score
+          FROM tf CROSS JOIN stats s JOIN dfq ON dfq.term = tf.term
+        )
+        SELECT term, doc_id, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+               CAST(dl AS BIGINT) AS dl, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY term
+                    ORDER BY score DESC, doc_id ASC) AS INT) AS bm25_rank
+        FROM scored
+        QUALIFY bm25_rank <= 5
+        ORDER BY term, bm25_rank
+    """
+    # SemDeDup: the whole cluster-then-compare pipeline re-derived from
+    # the embedded centroid codebook — nearest-cell assignment (ties ->
+    # lowest cid, the ivf_assign_arrow rule), within-cluster pairs
+    # only, drop every vector with a lower-id cluster-mate at
+    # cosine >= 0.40 (non-cascading keep-lowest-id, the rule
+    # ops.similarity.semantic_dedup implements).
+    d["semantic_dedup"] = f"""
+        WITH cent(cid, cvec) AS (
+          VALUES {cent_vals}
+        ), pa AS (
+          SELECT p.vec_id, p.embedding, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                    ORDER BY list_cosine_similarity(c.cvec, CAST(p.embedding AS DOUBLE[])) DESC,
+                             c.cid) AS rn
+          FROM embeddings p CROSS JOIN cent c
+        ), a AS (
+          SELECT vec_id, embedding, cid FROM pa WHERE rn = 1
+        ), drops AS (
+          SELECT DISTINCT y.vec_id
+          FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+          WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                       CAST(y.embedding AS DOUBLE[])) >= 0.40
+        )
+        SELECT a.vec_id, CAST(a.cid AS INT) AS cid
+        FROM a
+        WHERE a.vec_id NOT IN (SELECT vec_id FROM drops)
+        ORDER BY a.vec_id
     """
     return d

@@ -150,6 +150,9 @@ OPS_QUERIES = (
     "skew_tile_join",
     "dedup_groups",
     "near_dup_curate",
+    "semantic_dedup",
+    "repetition_filter",
+    "bm25_rank",
     "ngram_jaccard",
     "embedding_near_dup",
     "sessionize",

@@ -684,3 +684,89 @@ def embedding_near_dup(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: np.ndarray,
+    threshold: float,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with a coarse k-means
+    codebook, then compare pairs only WITHIN a cluster and drop every
+    vector that has a lower-id cluster-mate with cosine >= threshold
+    (keep-lowest-id, the same greedy rule as ops.dedup). Returns the
+    kept rows as (id, cid), one row per survivor.
+
+    Scale shape (10^12 rows): the all-pairs comparison the naive
+    formulation needs is replaced by |clusters| independent
+    self-joins — assignment is one argmax matmul per Arrow batch
+    (ivf_assign_arrow, the IVF partition column at scale), the
+    within-cluster pair join shuffles on cid, and the exact-cosine
+    verify is one einsum per Arrow batch over candidate pairs only
+    (identical machinery to embedding_near_dup). With k-means sized so
+    clusters hold ~10^4 vectors, pair work is n/k * n per cluster
+    total — linear-ish in n, embarrassingly parallel across clusters.
+    Skewed (hot) clusters split under AQE skew-join handling since the
+    pair join is a plain shuffle equi-join on cid.
+
+    Determinism: assignment ties break on ascending cid (matches the
+    oracle's ORDER BY cosine DESC, cid) and the drop rule uses ids,
+    so the DuckDB re-derivation oracle is hash-exact — a boundary
+    flip would need a true cosine within float64 noise of threshold.
+    """
+    assigned = ivf_assign_arrow(
+        df, centroids, nprobe=1, id_col=id_col, vec_col=vec_col, out_id="__sd_id"
+    )
+    e = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+    pairs = (
+        assigned.select(F.col("__sd_id").alias("id_a"), "cid")
+        .join(assigned.select(F.col("__sd_id").alias("id_b"), "cid"), on="cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    paired = (
+        pairs.join(e.select(F.col("__id").alias("id_a"), F.col("__vec").alias("vec_a")), "id_a")
+        .join(e.select(F.col("__id").alias("id_b"), F.col("__vec").alias("vec_b")), "id_b")
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def verify(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ia = batch.column(batch.schema.get_field_index("id_a")).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            ib = batch.column(batch.schema.get_field_index("id_b")).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            va = _vec_matrix(batch.column(batch.schema.get_field_index("vec_a")), dim)
+            vb = _vec_matrix(batch.column(batch.schema.get_field_index("vec_b")), dim)
+            va /= _safe_norms(va)
+            vb /= _safe_norms(vb)
+            cos = np.einsum("ij,ij->i", va, vb)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ia), pa.array(ib), pa.array(cos)],
+                names=["id_a", "id_b", "cosine"],
+            )
+
+    dropped = (
+        paired.mapInArrow(verify, schema=schema)
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("id_b").alias("__drop"))
+        .distinct()
+    )
+    return assigned.join(
+        dropped, assigned["__sd_id"] == dropped["__drop"], how="left_anti"
+    ).select(F.col("__sd_id").alias(id_col), "cid")
