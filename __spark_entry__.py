@@ -1429,6 +1429,25 @@ def q_semantic_dedup(spark, sf_dir):
     return res.select("vec_id", F.col("cid").cast("int").alias("cid")).orderBy("vec_id")
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum sampling (dataset mixing weights):
+    per-language keep rates over the same md5 key hash as
+    hash_sample/hash_split, one codegen'd CASE, no shuffle. en kept
+    at 1.0 exercises the rate>=1.0 short-circuit (no prefix-collision
+    drop)."""
+    from osmzen_spark.ops.sampling import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    res = stratified_sample(
+        docs,
+        key_col="doc_id",
+        strata_col="lang",
+        rates={"en": 1.0, "de": 0.3, "fr": 0.5},
+        default_rate=0.1,
+    )
+    return res.select("doc_id", "lang").orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full normalize+tile over synthetic elements (buildings/
     pois/landuse polygons + road/path network with relation memberships)
@@ -1512,6 +1531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_filter": q_repetition_filter,
         "bm25_rank": q_bm25_rank,
         "semantic_dedup": q_semantic_dedup,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -3044,5 +3064,24 @@ def oracle_sql() -> dict[str, str]:
         FROM a
         WHERE a.vec_id NOT IN (SELECT vec_id FROM drops)
         ORDER BY a.vec_id
+    """
+    # Stratified sampling: per-language md5-prefix cut points (the
+    # exact thresholds the Spark CASE uses, computed by the same
+    # _hex_threshold), en at rate 1.0 -> unconditional keep.
+    from osmzen_spark.ops.sampling import _hex_threshold
+
+    _th = {name: _hex_threshold(r) for name, r in
+           (("de", 0.3), ("fr", 0.5), ("__default", 0.1))}
+    d["stratified_sample"] = f"""
+        SELECT doc_id, lang FROM documents
+        WHERE CASE
+          WHEN lang = 'de'
+            THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_th["de"]}'
+          WHEN lang = 'en' THEN TRUE
+          WHEN lang = 'fr'
+            THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_th["fr"]}'
+          ELSE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_th["__default"]}'
+        END
+        ORDER BY doc_id
     """
     return d

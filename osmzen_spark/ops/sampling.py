@@ -70,3 +70,39 @@ def hash_split(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = F.lit(names[-1])
     return df.withColumn(out_col, last if expr is None else expr.otherwise(last))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the dataset-mixing
+    primitive ("keep 80% of en, 30% of de, drop the rest"). Each
+    stratum gets its own md5-prefix cut point over the SAME key hash
+    as hash_sample, so mixing decisions stay consistent with global
+    samples/splits of the same key and re-runs are reproducible
+    row-for-row (no RNG state, no sampleBy seed drift).
+
+    Scale shape: a single codegen'd CASE over the stratum column —
+    no shuffle, no per-stratum scans; the filter pushes to the scan
+    when strata/keys are scan columns. Rates >= 1.0 short-circuit to
+    TRUE so the 'ffffffff' prefix-collision edge cannot drop rows
+    (same guard as hash_sample).
+    """
+    bucket = _bucket_col(F.col(key_col))
+    expr = None
+    for name in sorted(rates):
+        rate = rates[name]
+        keep = F.lit(True) if rate >= 1.0 else bucket < F.lit(_hex_threshold(rate))
+        cond = F.col(strata_col) == name
+        expr = F.when(cond, keep) if expr is None else expr.when(cond, keep)
+    if default_rate >= 1.0:
+        fallback = F.lit(True)
+    elif default_rate <= 0.0:
+        fallback = F.lit(False)
+    else:
+        fallback = bucket < F.lit(_hex_threshold(default_rate))
+    return df.filter(expr.otherwise(fallback) if expr is not None else fallback)

@@ -100,3 +100,92 @@ def test_semantic_dedup_keep_lowest_id_is_non_cascading(spark):
     cents = np.array([[1.0, 0.0]])
     kept = semantic_dedup(emb, cents, threshold=0.9, dim=2)
     assert sorted(r["vec_id"] for r in kept.collect()) == [1]
+
+
+def test_repetition_stats_matches_python_reference(spark):
+    import random
+
+    rng = random.Random(42)
+    vocab = ["a", "b", "c", "d", "e"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40))))
+        for i in range(60)
+    ]
+
+    def ref(text):
+        w = text.split(" ")
+        big = list(zip(w, w[1:]))
+        tri = list(zip(w, w[1:], w[2:]))
+        if not big:
+            return (0, 0, 0.0, 0.0)
+        from collections import Counter
+
+        bc = Counter(big)
+        top = max(bc.values())
+        dup = 0.0
+        if tri:
+            tc = Counter(tri)
+            dup = sum(c for c in tc.values() if c > 1) / len(tri)
+        return (len(big), top, top / len(big), dup)
+
+    got = {
+        r["doc_id"]: (
+            r["n_bigrams"],
+            r["top_bigram_n"],
+            r["top_bigram_frac"],
+            r["dup_trigram_frac"],
+        )
+        for r in __import__(
+            "osmzen_spark.ops.repetition", fromlist=["repetition_stats"]
+        ).repetition_stats(spark.createDataFrame(docs, ["doc_id", "text"])).collect()
+    }
+    for i, text in docs:
+        assert got[i] == ref(text), (i, text, got[i], ref(text))
+
+
+def test_bm25_matches_python_reference(spark):
+    import random
+
+    rng = random.Random(7)
+    vocab = ["x", "y", "z", "table", "join"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30))))
+        for i in range(40)
+    ]
+    from osmzen_spark.ops.ranking import B, K1, K1_PLUS_1, ONE_MINUS_B
+
+    n = len(docs)
+    dls = {i: len(t.split(" ")) for i, t in docs}
+    avgdl = float(sum(dls.values())) / float(n)
+    terms = ["table", "join"]
+    tf = {
+        (i, t): sum(1 for w in text.split(" ") if w == t)
+        for i, text in docs
+        for t in terms
+    }
+    dfreq = {t: sum(1 for i, _ in docs if tf[(i, t)] > 0) for t in terms}
+
+    def score(i, t):
+        idf = (float(n) - float(dfreq[t]) + 0.5) / (float(dfreq[t]) + 0.5)
+        return idf * (
+            (float(tf[(i, t)]) * K1_PLUS_1)
+            / (float(tf[(i, t)]) + K1 * (ONE_MINUS_B + B * (float(dls[i]) / avgdl)))
+        )
+
+    expected = {}
+    for t in terms:
+        ranked = sorted(
+            ((i, score(i, t)) for i, _ in docs if tf[(i, t)] > 0),
+            key=lambda x: (-x[1], x[0]),
+        )[:5]
+        expected[t] = ranked
+
+    res = __import__("osmzen_spark.ops.ranking", fromlist=["bm25_rank"]).bm25_rank(
+        spark.createDataFrame(docs, ["doc_id", "text"]), terms=terms, k=5
+    ).collect()
+    got = {}
+    for r in res:
+        got.setdefault(r["term"], []).append((r["bm25_rank"], r["doc_id"], r["score"]))
+    for t in terms:
+        rows = sorted(got[t])
+        assert [(d, s) for _, d, s in rows] == expected[t]  # bit-exact scores

@@ -112,3 +112,28 @@ def test_hash_sample_rate_one_keeps_everything(spark):
     df = spark.range(0, 1000).withColumnRenamed("id", "k")
     assert hash_sample(df, 1.0, "k").count() == 1000
     assert hash_sample(df, 1.5, "k").count() == 1000
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from osmzen_spark.ops.sampling import stratified_sample
+
+    rows = [(i, "en" if i % 3 == 0 else ("de" if i % 3 == 1 else "zz"))
+            for i in range(3000)]
+    df = spark.createDataFrame(rows, ["k", "lang"])
+    out = stratified_sample(
+        df, key_col="k", strata_col="lang",
+        rates={"en": 1.0, "de": 0.5}, default_rate=0.0,
+    )
+    got = out.groupBy("lang").count().collect()
+    by = {r["lang"]: r["count"] for r in got}
+    assert by["en"] == 1000          # rate 1.0 keeps EVERY row
+    assert 400 <= by.get("de", 0) <= 600  # ~50%
+    assert "zz" not in by            # default 0.0 drops the stratum
+    # deterministic: a re-run keeps the identical key set
+    again = stratified_sample(
+        df, key_col="k", strata_col="lang",
+        rates={"en": 1.0, "de": 0.5}, default_rate=0.0,
+    )
+    assert sorted(r["k"] for r in out.collect()) == sorted(
+        r["k"] for r in again.collect()
+    )
