@@ -1448,6 +1448,52 @@ def q_stratified_sample(spark, sf_dir):
     return res.select("doc_id", "lang").orderBy("doc_id")
 
 
+def q_frequency_cap(spark, sf_dir):
+    """Per-group frequency capping (ops/capping.py): at most 40 docs
+    per language, selected deterministically by md5 key-hash order.
+    The row_number predicate compiles to a WindowGroupLimit, so each
+    map task pre-filters to 40 rows per group BEFORE the shuffle —
+    the mega-domain skew guard a 100 TB corpus needs."""
+    from osmzen_spark.ops.capping import frequency_cap
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        frequency_cap(docs, key_col="doc_id", group_col="lang", n=40, keep_rank=True)
+        .select("doc_id", "lang", F.col("cap_rank").cast("int").alias("cap_rank"))
+        .orderBy("doc_id")
+    )
+
+
+def q_token_rarity(spark, sf_dir):
+    """Corpus-frequency token rarity per document (ops/textstats.py
+    token_rarity): the unigram-LM quality signal, integer-exact —
+    per-doc sums of corpus token counts plus a rare-token fraction,
+    with the only float ops being two final int/int divisions. The
+    vocabulary aggregates map-side and broadcasts back to the
+    exploded token frame."""
+    from osmzen_spark.ops.textstats import token_rarity
+
+    docs = _read(spark, sf_dir, "documents")
+    return token_rarity(docs, rare_below=3).orderBy("doc_id")
+
+
+def q_image_ref_distortion(spark, sf_dir):
+    """Payload-invariant validation (payload/images.py ref_distortion):
+    decode every image with the real codecs (raw / stdlib PNG /
+    baseline JPEG) and score it against the procedural reference
+    pixels — integer SSE, one int/int MSE division, and the
+    input_hint's PSNR>=40dB gate as the pure-integer inequality
+    10000*sse <= 65025*n. Lossless rows must come back sse=0; the
+    DuckDB oracle re-derives every decoded pixel (including the JPEG
+    integer IDCT pipeline) so any codec or batching bug breaks the
+    hash."""
+    from osmzen_spark.datagen import synthetic_images
+    from osmzen_spark.payload.images import ref_distortion
+
+    imgs = synthetic_images(spark, sf_dir)
+    return ref_distortion(imgs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full normalize+tile over synthetic elements (buildings/
     pois/landuse polygons + road/path network with relation memberships)
@@ -1532,6 +1578,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rank": q_bm25_rank,
         "semantic_dedup": q_semantic_dedup,
         "stratified_sample": q_stratified_sample,
+        "frequency_cap": q_frequency_cap,
+        "token_rarity": q_token_rarity,
+        "image_ref_distortion": q_image_ref_distortion,
     }
 
 
@@ -3083,5 +3132,55 @@ def oracle_sql() -> dict[str, str]:
           ELSE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_th["__default"]}'
         END
         ORDER BY doc_id
+    """
+    # frequency capping: the same md5-prefix rank order (ties by key)
+    d["frequency_cap"] = """
+        SELECT doc_id, lang, CAST(rnk AS INT) AS cap_rank FROM (
+          SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+                 ) AS rnk
+          FROM documents
+        ) WHERE rnk <= 40
+        ORDER BY doc_id
+    """
+    # token rarity: integer corpus-count sums; the two divisions are
+    # single int/int double ops, IEEE-identical across engines
+    d["token_rarity"] = """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents
+        ), vocab AS (
+          SELECT tok, COUNT(*) AS corpus_n FROM toks GROUP BY tok
+        )
+        SELECT t.doc_id,
+               COUNT(*) AS n_tokens,
+               CAST(SUM(v.corpus_n) AS BIGINT) AS sum_freq,
+               CAST(SUM(CASE WHEN v.corpus_n < 3 THEN 1 ELSE 0 END) AS BIGINT) AS rare_n,
+               CAST(SUM(CASE WHEN v.corpus_n < 3 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS rare_frac,
+               CAST(SUM(v.corpus_n) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS avg_freq
+        FROM toks t JOIN vocab v USING (tok)
+        GROUP BY t.doc_id ORDER BY t.doc_id
+    """
+    # payload invariant: decoded pixels (incl. the JPEG integer IDCT
+    # re-derivation in px) vs the procedural pattern; the 40 dB PSNR
+    # gate is the pure-integer inequality 10000*sse <= 65025*n
+    d["image_ref_distortion"] = f"""
+        WITH {img_px}, diff AS (
+          SELECT k, ((((k * 2654435761) % 2147483648) + 7*x + 13*y + 29*c) % 256 - v)
+                    * ((((k * 2654435761) % 2147483648) + 7*x + 13*y + 29*c) % 256 - v)
+                    AS sq
+          FROM px
+        )
+        SELECT 'img-' || k AS image_id,
+               CAST(COUNT(*) AS INT) AS n_px,
+               CAST(SUM(sq) AS BIGINT) AS sse,
+               CAST(SUM(sq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mse,
+               CAST(CASE WHEN 10000 * SUM(sq) <= 65025 * COUNT(*)
+                         THEN 1 ELSE 0 END AS INT) AS psnr_ge_40
+        FROM diff GROUP BY k
     """
     return d

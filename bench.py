@@ -141,6 +141,8 @@ OPS_QUERIES = (
     "hash_split",
     "hash_sample",
     "stratified_sample",
+    "frequency_cap",
+    "token_rarity",
     "contamination",
     "curate_corpus",
     "minhash_near_dup",
@@ -168,6 +170,7 @@ OPS_QUERIES = (
     "image_features",
     "image_resize",
     "image_augment",
+    "image_ref_distortion",
     "audio_features",
     "video_frame_sample",
     "assemble_buildings",

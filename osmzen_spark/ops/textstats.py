@@ -80,3 +80,58 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("quality", quality_score_col(t))
         .withColumn("fingerprint", fingerprint_col(t))
     )
+
+
+def token_rarity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rare_below: int = 3,
+) -> DataFrame:
+    """Corpus-frequency token rarity per document — the unigram-LM
+    quality signal of a curation pipeline (a perplexity stand-in that
+    stays integer-exact, so a SQL oracle can re-derive every value):
+
+    * ``n_tokens``  — tokens in the doc (single-space split, the same
+      tokenization as repetition_stats/bm25).
+    * ``sum_freq``  — sum over the doc's tokens of each token's CORPUS
+      occurrence count (bigint: all integer sums, order-free).
+    * ``rare_n`` / ``rare_frac`` — tokens whose corpus count is below
+      ``rare_below`` (gibberish/OCR noise scores high, boilerplate low).
+    * ``avg_freq``  — sum_freq / n_tokens, ONE int/int double division
+      at the end (IEEE-identical across engines; no float sums).
+
+    Scale shape: explode -> two-level aggregate. The corpus count table
+    aggregates map-side (partial combine on token), and the join back
+    to the exploded tokens is an equi-join on the token column that AQE
+    converts to broadcast when the vocabulary fits (zipfian vocabularies
+    are tiny relative to the corpus — ~millions of distinct tokens for
+    100 TB of text). The per-doc re-aggregate groups on the document id,
+    which is the exploded frame's natural partitioning, so at most one
+    wide shuffle of (doc_id, token) pairs total.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("corpus_n"))
+    joined = toks.join(F.broadcast(vocab), "tok")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("corpus_n").alias("sum_freq"),
+            F.sum((F.col("corpus_n") < rare_below).cast("long")).alias("rare_n"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("sum_freq").cast("long").alias("sum_freq"),
+            F.col("rare_n").cast("long").alias("rare_n"),
+            (F.col("rare_n").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "rare_frac"
+            ),
+            (F.col("sum_freq").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "avg_freq"
+            ),
+        )
+    )

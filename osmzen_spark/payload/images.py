@@ -537,3 +537,77 @@ def augment_images(
     return fan_out_scan(
         images.select("image_id", "bytes", "w", "h", "fmt")
     ).mapInPandas(aug, schema=_AUGMENT_SCHEMA)
+
+
+_REF_DISTORTION_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("n_px", T.IntegerType()),
+        T.StructField("sse", T.LongType()),
+        T.StructField("mse", T.DoubleType()),
+        T.StructField("psnr_ge_40", T.IntegerType()),
+    ]
+)
+
+
+def ref_distortion(images: DataFrame) -> DataFrame:
+    """Per-image distortion vs the procedural reference pixels — the
+    input_hint's payload invariant ("decoded-pixel allclose, PSNR >=
+    40 dB for lossy") as a first-class validation operator: decode
+    every byte payload with the REAL codecs (raw / stdlib PNG /
+    baseline JPEG) and measure it against the canonical pattern
+    pixel(x,y,c) = (seed + 7x + 13y + 29c) mod 256.
+
+    Everything is integer-exact so a SQL oracle re-derives every value:
+    ``sse`` is an integer sum of squared byte diffs (order-free),
+    ``mse`` is ONE int/int double division, and the 40 dB gate is the
+    pure-integer inequality PSNR >= 40  <=>  10000*sse <= 65025*n_px
+    (255^2 / 10^4 = 6.5025) — no log, no float threshold. Lossless
+    rows (raw/png) must come back sse=0 / gate=1; a decoder bug in ANY
+    codec path, a batching bug, or a flipped coordinate breaks the
+    driver hash.
+
+    One Arrow-batched mapInPandas pass, vectorized across the whole
+    batch (no per-image Python loop): per-pixel (x, y, c) coordinates
+    are reconstructed from flat offsets with repeat/arange arithmetic,
+    so images of mixed sizes batch together.
+    """
+
+    def dist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            imgs = decode_image_batch(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])
+            keys = (
+                pdf["image_id"].str.slice(4).astype(np.int64).to_numpy()
+            )  # 'img-<k>'
+            seeds = (keys * 2654435761) % 2**31
+            flat = np.concatenate([im.reshape(-1).astype(np.int64) for im in imgs])
+            sizes = np.array([im.size for im in imgs], dtype=np.int64)
+            widths = np.array([im.shape[1] for im in imgs], dtype=np.int64)
+            offsets = np.zeros(len(sizes) + 1, dtype=np.int64)
+            np.cumsum(sizes, out=offsets[1:])
+            idx = np.arange(offsets[-1], dtype=np.int64) - np.repeat(
+                offsets[:-1], sizes
+            )
+            w_px = np.repeat(widths, sizes)
+            c = idx % 3
+            xy = idx // 3
+            x = xy % w_px
+            y = xy // w_px
+            pat = (np.repeat(seeds, sizes) + 7 * x + 13 * y + 29 * c) % 256
+            sq = (flat - pat) ** 2
+            sse = np.add.reduceat(sq, offsets[:-1])
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"].values,
+                    "n_px": sizes.astype(np.int32),
+                    "sse": sse,
+                    "mse": sse.astype(np.float64) / sizes.astype(np.float64),
+                    "psnr_ge_40": (10000 * sse <= 65025 * sizes).astype(np.int32),
+                }
+            )
+
+    return fan_out_scan(
+        images.select("image_id", "bytes", "w", "h", "fmt")
+    ).mapInPandas(dist, schema=_REF_DISTORTION_SCHEMA)
