@@ -190,7 +190,9 @@ OPS_QUERIES = (
 # warm runs slower than cold). A 15-query JVM lifetime keeps every
 # query within the regime the 10-query repro measured clean. The
 # ~12s JVM startup per extra child is paid outside all timed windows.
-OPS_CHUNKS = 3
+# (4 chunks since the list grew to 54 queries: 13-14 per JVM keeps the
+# per-JVM query count in the regime the 10-query repro measured clean.)
+OPS_CHUNKS = 4
 
 
 def run_operator_bench(spark, sf_dir, names=None):

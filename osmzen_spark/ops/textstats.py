@@ -87,6 +87,7 @@ def token_rarity(
     text_col: str = "text",
     id_col: str = "doc_id",
     rare_below: int = 3,
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Corpus-frequency token rarity per document — the unigram-LM
     quality signal of a curation pipeline (a perplexity stand-in that
@@ -102,19 +103,22 @@ def token_rarity(
       at the end (IEEE-identical across engines; no float sums).
 
     Scale shape: explode -> two-level aggregate. The corpus count table
-    aggregates map-side (partial combine on token), and the join back
-    to the exploded tokens is an equi-join on the token column that AQE
-    converts to broadcast when the vocabulary fits (zipfian vocabularies
-    are tiny relative to the corpus — ~millions of distinct tokens for
-    100 TB of text). The per-doc re-aggregate groups on the document id,
-    which is the exploded frame's natural partitioning, so at most one
-    wide shuffle of (doc_id, token) pairs total.
+    aggregates map-side (partial combine on token) and is joined back
+    to the exploded tokens on the token column. Zipfian vocabularies
+    are tiny relative to the corpus (~millions of distinct tokens for
+    100 TB of text), so the default hints the vocab side BROADCAST and
+    the exploded frame is never shuffled for the join; pass
+    ``broadcast_vocab=False`` for a pathological vocabulary (e.g.
+    hashed n-grams) and the plan degrades to a sort-merge join that AQE
+    can still flip back per-stage. The per-doc re-aggregate groups on
+    the document id, so at most one wide shuffle of (doc_id, token)
+    pairs total.
     """
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     )
     vocab = toks.groupBy("tok").agg(F.count("*").alias("corpus_n"))
-    joined = toks.join(F.broadcast(vocab), "tok")
+    joined = toks.join(F.broadcast(vocab) if broadcast_vocab else vocab, "tok")
     return (
         joined.groupBy(id_col)
         .agg(
