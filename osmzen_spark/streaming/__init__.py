@@ -3,6 +3,7 @@ from osmzen_spark.streaming.events import (
     read_events_stream,
     sessionize_batch,
     sessionize_stream,
+    stream_dedup_events,
     stream_events_hourly,
     stream_tile_counts,
     tile_counts_batch,
@@ -13,6 +14,7 @@ __all__ = [
     "read_events_stream",
     "sessionize_batch",
     "sessionize_stream",
+    "stream_dedup_events",
     "stream_events_hourly",
     "stream_tile_counts",
     "tile_counts_batch",

@@ -120,3 +120,26 @@ def test_stream_tile_counts_update_mode(spark, events):
     b = {(r["hour"], r["tile_x"], r["tile_y"]): r["n_events"] for r in want.collect()}
     assert a == b
     assert n_batches >= 1
+
+
+def test_stream_dedup_matches_batch_distinct_across_batches(spark, events, tmp_path):
+    """Cross-micro-batch dedup state: the fixture is re-staged as FOUR
+    parquet files drained one per trigger, so keys repeating across
+    files exercise the state store, not just in-batch dedup."""
+    from osmzen_spark.streaming import stream_dedup_events
+
+    staged = tmp_path / "events.parquet"
+    events.repartition(4).write.parquet(str(staged))
+    n_files = len([f for f in os.listdir(staged) if f.endswith(".parquet")])
+    assert n_files == 4
+
+    got = stream_dedup_events(
+        spark, str(tmp_path), keys=("user_id", "event_type"), query_name="t_dedup"
+    ).collect()
+    want = events.select("user_id", "event_type").distinct().collect()
+    key = lambda r: (r["user_id"], r["event_type"])  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    # no duplicate survived the drain (cross-batch state held)
+    assert len(got) == len(set(map(key, got)))
+    # and the fixture genuinely repeats keys across the staged files
+    assert events.count() > len(want)
