@@ -419,12 +419,16 @@ def main():
     # untimed: materialize the payload datagen caches in a throwaway
     # child JVM (see --prewarm-payload) so neither the flagship session
     # nor any operator child pays synthesis cost inside a timed window
-    subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--prewarm-payload"],
-        capture_output=True,
-        text=True,
-        check=False,  # best-effort: a prewarm failure just reverts to paying in-query
-    )
+    try:
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--prewarm-payload"],
+            capture_output=True,
+            text=True,
+            check=False,  # best-effort: a failure just reverts to paying in-query
+            timeout=1800,  # a hung prewarm must not hang the whole bench
+        )
+    except subprocess.TimeoutExpired:
+        pass
 
     spark = get_spark(
         app_name="bench-flagship", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 8)
