@@ -1262,20 +1262,9 @@ def q_snap_to_road(spark, sf_dir):
     ).orderBy("point_id")
 
 
-def q_phash_near_dup(spark, sf_dir):
-    """Perceptual-hash near-duplicate image pairs
-    (payload/images.py:phash_dedup_pairs): ~1 in 13 images gets a twin
-    with ONE hash bit flipped, then banded 16-bit bucket keys turn
-    all-pairs hamming search into an int64 equi-join (pigeonhole: any
-    pair within hamming 3 shares a band; candidates verified exactly).
-    The per-image 63-bit hash is synthesized arithmetically (two
-    multiplicative 32/31-bit halves) rather than taken from the
-    decoded pixels: the arithmetic test pattern's true luma average-
-    hash collapses to 94 distinct values over 45k images (measured —
-    the luma-vs-mean comparison cancels the seed), which would make
-    every bucket a hamming-0 megagroup; the pixel->hash path itself is
-    oracle-verified by image_features. The DuckDB oracle replays hash
-    synthesis, twin flips, banding, join, and exact hamming."""
+def _phash_pair_frame(spark, sf_dir):
+    """Shared by q_phash_near_dup / q_phash_dedup_groups: the verified
+    string-id phash pair frame (id_a < id_b, hamming <= 8)."""
     from osmzen_spark.payload.images import phash_dedup_pairs
 
     li = _lineitem(spark, sf_dir)
@@ -1313,6 +1302,42 @@ def q_phash_near_dup(spark, sf_dir):
         F.least(sa, sb).alias("id_a"),
         F.greatest(sa, sb).alias("id_b"),
         F.col("hamming").cast("int").alias("hamming"),
+    )
+
+
+def q_phash_near_dup(spark, sf_dir):
+    """Perceptual-hash near-duplicate image pairs
+    (payload/images.py:phash_dedup_pairs): ~1 in 13 images gets a twin
+    with ONE hash bit flipped, then banded 16-bit bucket keys turn
+    all-pairs hamming search into an int64 equi-join (pigeonhole: any
+    pair within hamming 3 shares a band; candidates verified exactly).
+    The per-image 63-bit hash is synthesized arithmetically (two
+    multiplicative 32/31-bit halves) rather than taken from the
+    decoded pixels: the arithmetic test pattern's true luma average-
+    hash collapses to 94 distinct values over 45k images (measured —
+    the luma-vs-mean comparison cancels the seed), which would make
+    every bucket a hamming-0 megagroup; the pixel->hash path itself is
+    oracle-verified by image_features. The DuckDB oracle replays hash
+    synthesis, twin flips, banding, join, and exact hamming."""
+    return _phash_pair_frame(spark, sf_dir)
+
+
+def q_phash_dedup_groups(spark, sf_dir):
+    """Image dedup grouping: connected components over the phash
+    near-dup pairs (the image-side twin of dedup_groups) -> one
+    (image_id, rep_id) row per image in a near-dup component, rep_id =
+    the component's lexicographic minimum (the keep-one survivor).
+    Pointer-doubling min-label propagation (ops/dedup.py), so a
+    chain-shaped duplicate cluster converges in O(log L) rounds; the
+    DuckDB oracle closes the SAME pairs transitively with a recursive
+    CTE."""
+    from osmzen_spark.ops.dedup import dedup_components
+
+    pairs = _phash_pair_frame(spark, sf_dir)
+    return (
+        dedup_components(pairs)
+        .select(F.col("doc_id").alias("image_id"), "rep_id")
+        .orderBy("image_id")
     )
 
 
@@ -1581,6 +1606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequency_cap": q_frequency_cap,
         "token_rarity": q_token_rarity,
         "image_ref_distortion": q_image_ref_distortion,
+        "phash_dedup_groups": q_phash_dedup_groups,
     }
 
 
@@ -3182,5 +3208,23 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN 10000 * SUM(sq) <= 65025 * COUNT(*)
                          THEN 1 ELSE 0 END AS INT) AS psnr_ge_40
         FROM diff GROUP BY k
+    """
+    # image dedup grouping: the phash pair derivation composed with the
+    # same recursive-CTE transitive closure as dedup_groups (string ids;
+    # MIN is lexicographic in BOTH engines for these ASCII ids)
+    d["phash_dedup_groups"] = f"""
+        WITH RECURSIVE pairs AS ({d["phash_near_dup"]}),
+        und AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION
+          SELECT id_b AS u, id_a AS v FROM pairs
+        ),
+        reach(u, v) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM und)
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+        )
+        SELECT u AS image_id, MIN(v) AS rep_id
+        FROM reach GROUP BY u ORDER BY image_id
     """
     return d

@@ -166,6 +166,7 @@ OPS_QUERIES = (
     "simplify_lines",
     "snap_to_road",
     "phash_near_dup",
+    "phash_dedup_groups",
     "image_channel_stats",
     "image_features",
     "image_resize",
