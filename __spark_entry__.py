@@ -403,6 +403,104 @@ def q_curate_corpus(spark, sf_dir):
     )
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII scrub stage: PII-shaped spans (email / IPv4 / phone) are
+    synthesized deterministically from doc_id and appended to each
+    document (so the oracle injects byte-identical spans), then
+    redact_pii counts each kind and replaces the spans with typed
+    placeholders. Pure scan-fused projection, no shuffle
+    (ops/redaction.py) — the regex subset is Java-regex/RE2 common, so
+    DuckDB re-derives every redacted byte. Phone spans are injected
+    only for doc_id % 3 != 0 so the counts actually vary."""
+    from osmzen_spark.ops.redaction import redact_pii
+
+    docs = _read(spark, sf_dir, "documents")
+    phone = F.when(F.col("doc_id") % 3 == 0, F.lit("")).otherwise(
+        F.concat(
+            F.lit(" call 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        )
+    )
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com from 10."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".0."),
+            (F.col("doc_id") % 250).cast("string"),
+            phone,
+        ).alias("text"),
+    )
+    return (
+        redact_pii(injected)
+        .select("doc_id", "n_email", "n_ip", "n_phone", "redacted")
+        .orderBy("doc_id")
+    )
+
+
+def q_text_normalize(spark, sf_dir):
+    """Canonicalization dedup: texts are deterministically perturbed
+    (doc_id%3==1 uppercased, %3==2 double-spaced + padded), then
+    normalize_text_col (lower / collapse spaces / trim) must fold the
+    variants back together. Per-lang: distinct raw variants vs distinct
+    normalized variants vs exact round-trips to the original bytes.
+    Scale shape: projection + one partial-aggregating groupBy on the
+    4-value lang key."""
+    from osmzen_spark.ops.redaction import normalize_text_col
+
+    docs = _read(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 3
+    pert = (
+        F.when(m == 1, F.upper(F.col("text")))
+        .when(
+            m == 2,
+            F.concat(F.lit("  "), F.regexp_replace(F.col("text"), " ", "  "), F.lit(" ")),
+        )
+        .otherwise(F.col("text"))
+    )
+    p = docs.select("doc_id", "lang", F.col("text").alias("orig"), pert.alias("pert"))
+    n = p.withColumn("norm", normalize_text_col(F.col("pert")))
+    return (
+        n.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct(F.md5(F.col("pert"))).cast("long").alias("n_raw_variants"),
+            F.countDistinct(F.md5(F.col("norm"))).cast("long").alias("n_norm_variants"),
+            F.sum((F.col("norm") == F.col("orig")).cast("long")).alias("n_roundtrip"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_reshard_train(spark, sf_dir):
+    """Deterministic reshard-for-training: md5-bucket shard (0..7) +
+    row_number position within shard — the reproducible global shuffle
+    a sharded training write performs (ops/resharding.py: one hash
+    exchange + in-partition sort; no RNG, identical on any cluster
+    size)."""
+    from osmzen_spark.ops.resharding import reshard_for_training
+
+    docs = _read(spark, sf_dir, "documents")
+    out = reshard_for_training(docs, "doc_id", n_shards=8)
+    return out.select("doc_id", "shard", "pos").orderBy("shard", "pos")
+
+
+def q_corpus_mix(spark, sf_dir):
+    """Per-source corpus mix report: docs, tokens, token share, and
+    cumulative share in descending-token order — the dataset-mixing
+    decision table (ops/resharding.py: one partial-agg groupBy; the
+    windows run over the tiny aggregated frame only)."""
+    from osmzen_spark.ops.resharding import corpus_mix_report
+
+    docs = _read(spark, sf_dir, "documents")
+    return corpus_mix_report(docs).orderBy(F.desc("n_tokens"), "source")
+
+
 def q_events_window(spark, sf_dir):
     """Tumbling time-window aggregation over the events stream table."""
     e = _read(spark, sf_dir, "events")
@@ -1607,6 +1705,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_rarity": q_token_rarity,
         "image_ref_distortion": q_image_ref_distortion,
         "phash_dedup_groups": q_phash_dedup_groups,
+        "pii_redact": q_pii_redact,
+        "text_normalize": q_text_normalize,
+        "reshard_train": q_reshard_train,
+        "corpus_mix": q_corpus_mix,
     }
 
 
@@ -3226,5 +3328,77 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT u AS image_id, MIN(v) AS rep_id
         FROM reach GROUP BY u ORDER BY image_id
+    """
+    # PII redaction: the injection arithmetic mirrors q_pii_redact
+    # verbatim; patterns are the Java-regex/RE2 common subset and
+    # DuckDB needs 'g' to match Spark's replace-all default
+    d["pii_redact"] = r"""
+        WITH injected AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@mail.example.com from 10.'
+                      || CAST(doc_id % 200 AS VARCHAR) || '.0.'
+                      || CAST(doc_id % 250 AS VARCHAR)
+                      || CASE WHEN doc_id % 3 = 0 THEN ''
+                         ELSE ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                              || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') END
+                 AS text
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ip,
+               CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+                 '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        FROM injected ORDER BY doc_id
+    """
+    d["text_normalize"] = """
+        WITH p AS (
+          SELECT doc_id, lang, text AS orig,
+                 CASE WHEN doc_id % 3 = 1 THEN upper(text)
+                      WHEN doc_id % 3 = 2 THEN '  ' || regexp_replace(text, ' ', '  ', 'g') || ' '
+                      ELSE text END AS pert
+          FROM documents
+        ), n AS (
+          SELECT *, lower(trim(regexp_replace(pert, '[ ]+', ' ', 'g'))) AS norm FROM p
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(COUNT(DISTINCT md5(pert)) AS BIGINT) AS n_raw_variants,
+               CAST(COUNT(DISTINCT md5(norm)) AS BIGINT) AS n_norm_variants,
+               CAST(SUM(CASE WHEN norm = orig THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip
+        FROM n GROUP BY lang ORDER BY lang
+    """
+    # instr() has the same (haystack, needle) order in both engines;
+    # the two-hex-char decode mirrors ops/resharding.py
+    d["reshard_train"] = """
+        WITH h AS (
+          SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents
+        ), s AS (
+          SELECT doc_id, hh,
+                 CAST(((instr('0123456789abcdef', substring(hh, 1, 1)) - 1) * 16
+                      + instr('0123456789abcdef', substring(hh, 2, 1)) - 1) % 8 AS INT) AS shard
+          FROM h
+        )
+        SELECT doc_id, shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hh, doc_id) AS BIGINT) AS pos
+        FROM s ORDER BY shard, pos
+    """
+    d["corpus_mix"] = """
+        WITH agg AS (
+          SELECT source,
+                 COUNT(*) AS n_docs,
+                 CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source
+        )
+        SELECT source, n_docs, n_tokens,
+               CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS token_share,
+               CAST(SUM(n_tokens) OVER (ORDER BY n_tokens DESC, source
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS cum_share
+        FROM agg ORDER BY n_tokens DESC, source
     """
     return d
