@@ -501,6 +501,34 @@ def q_corpus_mix(spark, sf_dir):
     return corpus_mix_report(docs).orderBy(F.desc("n_tokens"), "source")
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Dedup a NEW batch against a HISTORY corpus without shuffling the
+    history (ops/incremental.py): per-partition NumPy Bloom bitmaps
+    folded in mapInArrow (one m/8-byte row per partition to the
+    driver, zero shuffle), broadcast-bitmap prefilter on the batch,
+    then a broadcast left_semi confirm so the result is EXACT
+    anti-join semantics — which is what the oracle re-derives.
+    History = docs with doc_id%3!=0; the batch takes the even doc_ids
+    and rewrites every doc_id%4==2 text (those rows are genuinely new).
+    md5 of the surviving text keeps the compared row narrow."""
+    from osmzen_spark.ops.incremental import incremental_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 3 != 0).select("text")
+    new_batch = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 2, F.concat(F.col("text"), F.lit(" [rev2]"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = incremental_dedup(new_batch, history, bloom_bits=1 << 20)
+    return out.select(
+        "doc_id", F.md5(F.col("text")).alias("text_md5")
+    ).orderBy("doc_id")
+
+
 def q_events_window(spark, sf_dir):
     """Tumbling time-window aggregation over the events stream table."""
     e = _read(spark, sf_dir, "events")
@@ -1709,6 +1737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": q_text_normalize,
         "reshard_train": q_reshard_train,
         "corpus_mix": q_corpus_mix,
+        "incremental_dedup": q_incremental_dedup,
     }
 
 
@@ -3400,5 +3429,21 @@ def oracle_sql() -> dict[str, str]:
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                  / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS cum_share
         FROM agg ORDER BY n_tokens DESC, source
+    """
+    # exact anti-join re-derivation: the Bloom stage is a performance
+    # layer only (no false negatives; false positives removed by the
+    # exact confirm), so plain NOT EXISTS reproduces every output row
+    d["incremental_dedup"] = """
+        WITH history AS (
+          SELECT text FROM documents WHERE doc_id % 3 <> 0
+        ), new_batch AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 4 = 2 THEN text || ' [rev2]' ELSE text END AS text
+          FROM documents WHERE doc_id % 2 = 0
+        )
+        SELECT n.doc_id, md5(n.text) AS text_md5
+        FROM new_batch n
+        WHERE NOT EXISTS (SELECT 1 FROM history h WHERE h.text = n.text)
+        ORDER BY n.doc_id
     """
     return d
