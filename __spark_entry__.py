@@ -875,7 +875,13 @@ def q_normalize_buildings(spark, sf_dir):
 
     elements = synthetic_elements(spark, sf_dir)
     engine = NormalizeEngine()
-    layers = engine.process(elements, zoom=20, tile_zoom=10, layer_names=["buildings", "pois"])
+    # cache=True stage-cuts the shared datagen/normalize subtree the
+    # same way assemble_buildings does — without it the elements
+    # subtree re-executes once per layer branch (measured at sf0.1:
+    # normalize_buildings 27.4 s -> 9.0 s, identical rows)
+    layers = engine.process(
+        elements, zoom=20, tile_zoom=10, layer_names=["buildings", "pois"], cache=True
+    )
     b = layers["buildings"]
     return b.select(
         "id",
@@ -1111,7 +1117,13 @@ def q_payload_normalize_tile(spark, sf_dir):
     )
     elements = synthetic_elements(spark, sf_dir)
     engine = NormalizeEngine()
-    layers = engine.process(elements, zoom=20, tile_zoom=10, layer_names=["buildings", "pois"])
+    # cache=True stage-cuts the shared datagen/normalize subtree the
+    # same way assemble_buildings does — without it the elements
+    # subtree re-executes once per layer branch (measured at sf0.1:
+    # normalize_buildings 27.4 s -> 9.0 s, identical rows)
+    layers = engine.process(
+        elements, zoom=20, tile_zoom=10, layer_names=["buildings", "pois"], cache=True
+    )
     b = layers["buildings"]
     return (
         b.join(imgs, b["id"] == imgs["element_id"])

@@ -165,6 +165,7 @@ OPS_QUERIES = (
     "raster_vector_join",
     "simhash",
     "dedup_groups",
+    "incremental_dedup",
     "near_dup_curate",
     "semantic_dedup",
     "repetition_filter",
@@ -233,7 +234,15 @@ def run_operator_bench(spark, sf_dir, names=None):
         # host's bursty hypervisor-steal stalls (BASELINE.md round-3
         # addendum: single cold runs randomly inflate 5-10x). Kept as
         # a SEPARATE series; `timings` stays the round-comparable
-        # cold-run protocol.
+        # cold-run protocol. Scrub BETWEEN trials as well: queries
+        # that stage-cut via cache/localCheckpoint (normalize_
+        # buildings, payload_normalize_tile, assemble_buildings)
+        # leave their cut blocks pinned, so without the scrub each
+        # repeat stacks a fresh copy on the old one and the "warm"
+        # run measures GC/eviction pressure instead of the query
+        # (r5 final session: payload_normalize_tile 22.7 cold ->
+        # 40.6 warm -> 57.0 retry in-bench vs 31/9/6.5 standalone).
+        _scrub(spark)
         t0 = time.time()
         _noop(qs[name](spark, sf_dir))
         warm[name] = round(time.time() - t0, 3)
@@ -246,6 +255,7 @@ def run_operator_bench(spark, sf_dir, names=None):
         # min() then has two honest samples to draw from.
         a, b = timings[name], warm[name]
         if max(a, b) > 1.5 * min(a, b) and max(a, b) > 2.0:
+            _scrub(spark)
             t0 = time.time()
             _noop(qs[name](spark, sf_dir))
             retry[name] = round(time.time() - t0, 3)
