@@ -613,27 +613,25 @@ def q_simhash(spark, sf_dir):
     0.5), the 64-bit 2-gram SimHash fingerprints must agree within 16
     bits (hamming via xor+bit_count). DuckDB re-derives the pair set
     from raw shingle strings and asserts close=true — a fingerprint
-    whose locality property broke would flip the bit and the hash."""
-    from osmzen_spark.ops.dedup import _shingles, simhash_frame
+    whose locality property broke would flip the bit and the hash.
+
+    The validation pair set comes from ngram_jaccard_pairs (PPJoin
+    prefix + length filter) — the SAME exact J>=0.5 pair set by
+    construction (any qualifying pair provably shares a prefix
+    shingle; survivors get the exact jaccard over the full distinct
+    shingle-hash sets, identical arithmetic to the old inverted-index
+    join), but hot shingles never enter the join quadratically and the
+    shingling is one Arrow pass instead of an interpreted
+    higher-order-function chain per join side. The fingerprint frame
+    is stage-cut once so the 64-bit-vote aggregation doesn't
+    re-execute for each side of the pair join."""
+    from osmzen_spark.ops.dedup import ngram_jaccard_pairs, simhash_frame
 
     docs = _read(spark, sf_dir, "documents")
-    fp = simhash_frame(docs, "text", "doc_id", bits=64, shingle_k=2)
-    sh = docs.select(
-        F.col("doc_id").alias("id"),
-        F.array_distinct(_shingles(F.col("text"), 5)).alias("sh"),
-    ).withColumn("n", F.size("sh"))
-    ex = sh.select("id", "n", F.explode("sh").alias("g"))
-    a = ex.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"), "g")
-    b = ex.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"), "g")
-    inter = (
-        a.join(b, on="g")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count("*").alias("i"))
+    fp = simhash_frame(docs, "text", "doc_id", bits=64, shingle_k=2).localCheckpoint(
+        eager=True
     )
-    pairs = inter.select(
-        "id_a", "id_b", (F.col("i") / (F.col("n_a") + F.col("n_b") - F.col("i"))).alias("jaccard")
-    ).filter(F.col("jaccard") >= 0.5)
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", k=5, min_jaccard=0.5)
     fa = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sim_a"))
     fb = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sim_b"))
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
@@ -946,8 +944,13 @@ def q_keep_n_features(spark, sf_dir):
 
     elements = synthetic_elements(spark, sf_dir)
     engine = NormalizeEngine()
+    # cache=True stage-cuts the shared datagen/eval subtree exactly as
+    # normalize_buildings does: without it the 556-rule Arrow eval
+    # re-executes once per consumer (the buildings branch AND the
+    # pois-id broadcast build of set_conditional_names — two full
+    # evals, plan-verified in plans/r06/keep_n_features_before.txt)
     layers = engine.process(
-        elements, zoom=20, tile_zoom=10, layer_names=["buildings", "pois"]
+        elements, zoom=20, tile_zoom=10, layer_names=["buildings", "pois"], cache=True
     )
     # project to the oracle-re-derivable rank columns BEFORE the cap:
     # keep_n_features ranks on whatever of (min_zoom, sort_rank,
@@ -981,8 +984,12 @@ def q_mvt_tiles(spark, sf_dir):
 
     elements = synthetic_elements(spark, sf_dir)
     engine = NormalizeEngine()
+    # cache=True: one stage-cut eval union instead of one full
+    # datagen+derive+556-rule eval per consumer (the buildings branch
+    # and the pois-id broadcast build — plan-verified two MapInArrow
+    # eval subtrees in plans/r06/mvt_tiles_before.txt)
     layers = engine.process(
-        elements, zoom=20, tile_zoom=10, layer_names=["buildings", "pois"]
+        elements, zoom=20, tile_zoom=10, layer_names=["buildings", "pois"], cache=True
     )
     b = layers["buildings"].withColumn("zen_layer", F.lit("buildings"))
     return (

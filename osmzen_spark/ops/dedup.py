@@ -345,10 +345,18 @@ def ngram_jaccard_pairs(
     Survivors get the exact Jaccard via array_intersect over the full
     shingle-hash arrays (64-bit xxhash64; Jaccard is hash-invariant,
     which is also why the DuckDB oracle can re-derive identical values
-    from the raw shingle strings)."""
+    from the raw shingle strings).
+
+    The exploded shingle frame is stage-cut (localCheckpoint; the
+    Iceberg stage checkpoint on a cluster): three consumers read it —
+    the doc-frequency aggregate, the prefix join input, and the
+    full-signature collect — and without the cut each consumer
+    re-executes the Arrow shingling pass over the whole corpus
+    (measured 3x the Python-boundary work; the checkpointed frame is
+    ~8 bytes/shingle, the same order as the corpus text itself)."""
     ex = shingle_explode(df, text_col, id_col, k).select(
         "id", "n", F.xxhash64("g").alias("g")
-    )
+    ).localCheckpoint(eager=True)
     t = float(min_jaccard)
     # global shingle rarity = the prefix order (map-side combine agg)
     dfreq = ex.groupBy("g").agg(F.count("*").alias("df"))
