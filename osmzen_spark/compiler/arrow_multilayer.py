@@ -174,16 +174,37 @@ def _cached_plan(layers: dict, layer_names: list[str] | None):
 
 
 def evaluate_all_layers_arrow(
-    df: DataFrame, layers: dict, zoom: int, layer_names: list[str] | None = None
+    df: DataFrame,
+    layers: dict,
+    zoom: int,
+    layer_names: list[str] | None = None,
+    derive_geometry: bool = False,
 ) -> DataFrame:
     """One mapInArrow pass over ``df`` evaluating every layer; returns
     the layer-tagged union with variant emit columns (see module doc).
-    Use ``split_layer_views`` for per-layer frames."""
+    Use ``split_layer_views`` for per-layer frames.
+
+    ``derive_geometry=True`` fuses the geometry-stats derivation
+    (geom.derive.with_geometry_stats — area/length/clon/clat) INTO this
+    pass: the kernels run on each batch before rule evaluation and the
+    four columns are appended to the output. The separate derive
+    mapInArrow stage round-trips the entire wide elements table (tags
+    map + geometry arrays + any payload) through Arrow a second time
+    just to add four doubles; fusing removes that whole JVM->Python->JVM
+    cycle (guide §4.1: you control how many times the columns cross).
+    Identical values by construction — the same geometry_stats kernel
+    on the same inputs."""
     mplan, payload = _cached_plan(layers, layer_names)
 
     in_fields = list(df.schema.fields)
+    geom_fields = (
+        [T.StructField(c, T.DoubleType()) for c in ("area", "length", "clon", "clat")]
+        if derive_geometry
+        else []
+    )
     out_schema = T.StructType(
         in_fields
+        + geom_fields
         + [
             T.StructField("zen_layer", T.StringType()),
             T.StructField("match_idx", T.IntegerType()),
@@ -195,7 +216,27 @@ def evaluate_all_layers_arrow(
 
     def mapper(batches):
         names_order, plans, union_fields, field_of, needed_keys = payload.get()
+        if derive_geometry:
+            from osmzen_spark.geom.derive import compute_batch_stats
         for batch in batches:
+            if derive_geometry:
+                names0 = batch.schema.names
+                gtype0 = np.asarray(
+                    batch.column(names0.index("geom_type")).to_pylist(), dtype=object
+                )
+                g_area, g_len, g_clon, g_clat = compute_batch_stats(
+                    batch.column(names0.index("geometry")), gtype0
+                )
+                batch = pa.RecordBatch.from_arrays(
+                    list(batch.columns)
+                    + [
+                        pa.array(g_area, type=pa.float64()),
+                        pa.array(g_len, type=pa.float64()),
+                        pa.array(g_clon, type=pa.float64()),
+                        pa.array(g_clat, type=pa.float64()),
+                    ],
+                    names=names0 + ["area", "length", "clon", "clat"],
+                )
             b = BatchContext(batch, needed_keys, zoom)
             n = b.n
             if n == 0:

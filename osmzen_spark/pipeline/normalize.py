@@ -77,17 +77,32 @@ class NormalizeEngine:
             out = with_membership_columns(out, relation_members, way_nodes)
         return out
 
-    def _stage_cut(self, df: DataFrame, name: str, eager: bool) -> DataFrame:
+    def _stage_cut(
+        self, df: DataFrame, name: str, eager: bool, default_mode: str = "local"
+    ) -> DataFrame:
         """Materialize a stage boundary and truncate the plan.
 
         Two modes (env OSMZEN_STAGE_CHECKPOINT):
 
-        * ``local`` (default): DataFrame.localCheckpoint — blocks live
-          in executor memory (spill to disk). Lowest latency, but at
-          large replicates every cached stage competes for the single
-          local-mode heap, and GC pressure makes byte-heavy downstream
-          phases ANTI-scale with core count (measured: post-process
-          execute 174 s at local[32] vs 55 s at local[8], sf0.1 x4).
+        * ``local``: DataFrame.localCheckpoint — blocks live
+          in executor memory (spill to disk). Lowest latency for small
+          frames, but at full-pipeline scale every cached stage
+          competes for the single local-mode heap, and GC pressure
+          makes byte-heavy downstream phases ANTI-scale with core
+          count (measured: post-process execute 174 s at local[32] vs
+          55 s at local[8], sf0.1 x4; and at plain sf0.1 the 9-layer
+          flagship ran 94.7 s with local vs 35.1 s with parquet,
+          interleaved same-session trials — the 1M heap-held wide rows
+          put the JVM into GC collapse during the 13-scan post-process
+          phase).
+        With no env override, ``process`` picks the default per run:
+        ``parquet`` for full-config (>=5 layer) runs, ``local`` for
+        small layer slices — the checkpointed union's heap bytes scale
+        with layer count, and the measured crossover sits between the
+        2-layer ops queries (local ~1s faster: no write+read round
+        trip) and the 9-layer flagship (parquet 2.7x faster: heap
+        relief).
+
         * ``parquet``: write+read a compressed columnar checkpoint
           under OSMZEN_CHECKPOINT_DIR (or a temp dir) — data leaves the
           JVM heap (OS page cache holds snappy parquet at ~5-10x
@@ -107,7 +122,7 @@ class NormalizeEngine:
         import os
         import tempfile
 
-        mode = os.environ.get("OSMZEN_STAGE_CHECKPOINT", "local")
+        mode = os.environ.get("OSMZEN_STAGE_CHECKPOINT", default_mode)
         # void (all-NULL) emit columns: parquet cannot store NullType;
         # cast to string in every mode so downstream semantics are
         # identical (a string NULL behaves exactly like an invisible
@@ -234,6 +249,13 @@ class NormalizeEngine:
         """Full pipeline; returns {layer_name: DataFrame} with tile
         columns (tile_z/tile_x/tile_y/cell) appended.
 
+        (Stage-checkpoint mode note: full-config runs default to
+        ``parquet`` checkpoints — see ``_stage_cut``; measured 2.7x
+        faster end-to-end than ``local`` for the 9-layer pipeline at
+        sf0.1 because the heap-held wide union rows put the single
+        local-mode JVM into GC collapse during the 13-scan
+        post-process phase.)
+
         Two physical strategies (both produce identical results —
         the fixture suite runs on both):
 
@@ -277,7 +299,27 @@ class NormalizeEngine:
         else:
             import os as _os
 
-            derived = self.derive(elements, relation_members, way_nodes)
+            multilayer = _os.environ.get("OSMZEN_MULTILAYER", "1") != "0"
+            # Fused-derive shape (the multilayer default): geometry
+            # stats are computed INSIDE the eval mapInArrow pass
+            # (arrow_multilayer derive_geometry=True) so the wide
+            # elements table crosses the Python boundary ONCE, not
+            # twice. The membership joins only key on element_type/
+            # element_id, so they run on the raw elements unchanged.
+            # A bound filter needs clon/clat before eval, so bounded
+            # runs keep the separate derive pass.
+            fuse = multilayer and bound is None
+            ckpt_mode = "parquet" if len(names) >= 5 else "local"
+            if fuse:
+                derived = elements
+                if relation_members is not None or way_nodes is not None:
+                    from osmzen_spark.pipeline.membership import with_membership_columns
+
+                    derived = with_membership_columns(
+                        elements, relation_members, way_nodes
+                    )
+            else:
+                derived = self.derive(elements, relation_members, way_nodes)
             if relation_members is not None or way_nodes is not None:
                 # cut the plan at the membership join: without this the
                 # join+aggregation subtree is duplicated into every layer
@@ -285,8 +327,10 @@ class NormalizeEngine:
                 # Catalyst analysis cost multiplies accordingly. On a
                 # cluster this cut is the Iceberg stage checkpoint
                 # (lineage.py).
-                derived = self._stage_cut(derived, "derived", eager=False)
-            if _os.environ.get("OSMZEN_MULTILAYER", "1") != "0":
+                derived = self._stage_cut(
+                    derived, "derived", eager=False, default_mode=ckpt_mode
+                )
+            if multilayer:
                 # DEFAULT physical shape: ALL layers evaluated in ONE
                 # mapInArrow pass (shared tag matrix, one Arrow
                 # exchange, one job) producing the layer-tagged union;
@@ -303,10 +347,17 @@ class NormalizeEngine:
                         (F.col("geom_type") != "Point") | self._point_in_bound(bound)
                     )
                 use = {n: self.config.layers[n] for n in names}
-                union = evaluate_all_layers_arrow(derived, use, zoom, names)
+                union = evaluate_all_layers_arrow(
+                    derived, use, zoom, names, derive_geometry=fuse
+                )
                 if cache:
-                    union = self._stage_cut(union, "eval_union", eager=True)
-                views = split_layer_views(union, use, derived.columns)
+                    union = self._stage_cut(
+                        union, "eval_union", eager=True, default_mode=ckpt_mode
+                    )
+                input_cols = derived.columns + (
+                    ["area", "length", "clon", "clat"] if fuse else []
+                )
+                views = split_layer_views(union, use, input_cols)
                 layers = {}
                 for n in names:
                     from osmzen_spark.pipeline.transforms import apply_transforms

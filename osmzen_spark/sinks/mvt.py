@@ -396,9 +396,19 @@ def mvt_tiles(
                 yield pd.DataFrame(rows, columns=out_cols)
 
     cols = ["tile_x", "tile_y", "geometry", "geom_type", "zen_layer", "id", *property_cols]
+    # Explicit partition count: a bare repartition(cols) exchange is
+    # AQE-coalescible, and the encoder's input is few BYTES relative to
+    # its CPU cost (quantization + varint assembly per feature), so AQE
+    # folded the whole encode onto 1-2 cores (measured: the sf0.1
+    # encode of 200k features ran ~7 s nearly single-core). Pinning the
+    # count to the session's shuffle parallelism keeps the Python stage
+    # wide; the value is config-derived (the submitter sizes
+    # spark.sql.shuffle.partitions to the cluster), not a local
+    # constant.
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return (
         df.select(*dict.fromkeys(cols))
-        .repartition("tile_x", "tile_y")
+        .repartition(n_parts, "tile_x", "tile_y")
         .sortWithinPartitions("tile_x", "tile_y", "zen_layer", "id")
         .mapInPandas(gen, "tile_x long, tile_y long, n_features int, mvt binary")
     )
