@@ -313,9 +313,20 @@ def shingle_explode(
                 }
             )
 
-    return df.select(F.col(id_col).alias(id_col), text_col).mapInPandas(
-        gen, "id long, n int, c int, g string"
-    )
+    src = df.select(F.col(id_col).alias(id_col), text_col)
+    # Fan out an under-partitioned input ahead of the Python pass: a
+    # sandbox-scale documents parquet bin-packs into ONE scan partition
+    # (maxPartitionBytes), serializing the Arrow shingling onto a
+    # single core (same trap, same fix as payload.fan_out_scan — a
+    # no-op at real scale where the table arrives in thousands of
+    # splits). Applied AFTER column pruning so the exchange carries
+    # only (id, text); every consumer aggregates order-independently,
+    # so the round-robin redistribution cannot change results.
+    spark = src.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+    return src.mapInPandas(gen, "id long, n int, c int, g string")
 
 
 def ngram_jaccard_pairs(
@@ -366,14 +377,35 @@ def ngram_jaccard_pairs(
         ex.join(dfreq, "g")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= prefix_len)
-        .select("id", "n", "g")
+        .select("id", "n", "g", "rn")
     )
-    a = prefix.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"), "g")
-    b = prefix.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"), "g")
+    a = prefix.select(
+        F.col("id").alias("id_a"), F.col("n").alias("n_a"), F.col("rn").alias("rn_a"), "g"
+    )
+    b = prefix.select(
+        F.col("id").alias("id_b"), F.col("n").alias("n_b"), F.col("rn").alias("rn_b"), "g"
+    )
+    # Positional filter (the "P" of PPJoin, Xiao et al. WWW'08 §4):
+    # J >= t implies overlap o >= t/(1+t) * (n_a + n_b), and because
+    # both docs' shingles are ranked in the SAME global (df, hash)
+    # order, every common shingle ranks at or after this matched one —
+    # so o <= 1 + min(n_a - rn_a, n_b - rn_b). A qualifying pair always
+    # passes at its globally-smallest common shingle (which the prefix
+    # filter guarantees is in both prefixes), so completeness is
+    # preserved; non-qualifying hot-prefix matches are dropped BEFORE
+    # the distinct + exact-verify joins. Measured at sf0.1 (k=3,
+    # t=0.5): distinct candidates 310k -> 125k.
+    # The float t/(1+t) rounds DOWN (0.5 -> 0.33333...33 < 1/3), so
+    # rounding can only admit extra candidates, never drop real ones.
+    alpha = F.lit(t / (1.0 + t)) * (F.col("n_a") + F.col("n_b"))
     cand = (
         a.join(b, on="g")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(F.least("n_a", "n_b") >= t * F.greatest("n_a", "n_b"))
+        .filter(
+            (F.lit(1) + F.least(F.col("n_a") - F.col("rn_a"), F.col("n_b") - F.col("rn_b")))
+            >= alpha
+        )
         .select("id_a", "id_b")
         .distinct()
     )

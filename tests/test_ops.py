@@ -133,6 +133,49 @@ def test_ngram_jaccard_pairs_exact(spark):
     assert abs(pairs[(1, 2)] - 0.75) < 1e-12
 
 
+def test_ngram_jaccard_pairs_bruteforce_parity(spark):
+    """PPJoin prefix + positional filters must be exactness-preserving:
+    the emitted pair set (and every jaccard) equals the brute-force
+    all-pairs computation over distinct word-3-gram sets. The corpus is
+    built to stress the filters: shared hot shingles (common template
+    words), chains of partial overlaps near the threshold, and short
+    docs below k words."""
+    from osmzen_spark.ops.dedup import ngram_jaccard_pairs
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    rows = []
+    for i in range(48):
+        # overlapping sliding windows over a shared vocabulary ->
+        # many near-threshold pairs + hot shingles
+        seq = [words[(i + j) % len(words)] for j in range(10)]
+        if i % 7 == 0:
+            seq = seq[:2]  # short docs (single-shingle degenerate case)
+        rows.append((i, " ".join(seq)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    t = 0.5
+
+    def grams(text, k=3):
+        ws = text.lower().split()
+        if len(ws) <= k:
+            return {" ".join(ws)}
+        return {" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)}
+
+    expect = {}
+    for i in range(48):
+        for j in range(i + 1, 48):
+            a, b = grams(rows[i][1]), grams(rows[j][1])
+            jac = len(a & b) / len(a | b)
+            if jac >= t:
+                expect[(i, j)] = jac
+
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           ngram_jaccard_pairs(docs, "text", "doc_id", k=3, min_jaccard=t).collect()}
+    assert set(got) == set(expect)
+    for k2, v in expect.items():
+        assert abs(got[k2] - v) < 1e-12, (k2, got[k2], v)
+
+
 def _png_with_filters(img, filters):
     """Hand-assemble a PNG whose scanlines use the given filter types
     (exercises the decoder's Sub/Up/Average/Paeth reconstruction)."""
