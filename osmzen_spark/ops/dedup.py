@@ -450,12 +450,19 @@ def dedup_components(
     previous round's checkpointed RDD is unpersisted as soon as the
     count lands (bounded block-manager footprint). Raises if not
     converged within max_iter rather than returning wrong groups."""
+    # materialize the pair frame ONCE before mirroring: the two union
+    # branches would otherwise re-execute the whole upstream pair
+    # generator (banded join + exact verify) twice. The small (u, v)
+    # checkpoint is freed as soon as the mirrored edge set exists.
+    p = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).localCheckpoint(
+        eager=True
+    )
     edges = (
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        p.union(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
         .localCheckpoint(eager=True)  # scanned every iteration
     )
+    _free_local_checkpoint(p)
     labels = edges.select("u").distinct().select(
         F.col("u").alias("node"), F.col("u").alias("label")
     ).localCheckpoint(eager=True)

@@ -320,13 +320,20 @@ class NormalizeEngine:
                     )
             else:
                 derived = self.derive(elements, relation_members, way_nodes)
-            if relation_members is not None or way_nodes is not None:
+            if (relation_members is not None or way_nodes is not None) and not (
+                cache and multilayer
+            ):
                 # cut the plan at the membership join: without this the
                 # join+aggregation subtree is duplicated into every layer
                 # branch (and every postprocess self-join on top), and
                 # Catalyst analysis cost multiplies accordingly. On a
                 # cluster this cut is the Iceberg stage checkpoint
-                # (lineage.py).
+                # (lineage.py). When the eval UNION is itself cut
+                # (cache=True on the multilayer path), `derived` has
+                # exactly one consumer — the eval pass feeding that
+                # cut — so this intermediate checkpoint would be a pure
+                # extra write+read of the full elements table and is
+                # skipped.
                 derived = self._stage_cut(
                     derived, "derived", eager=False, default_mode=ckpt_mode
                 )
