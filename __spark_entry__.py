@@ -1688,7 +1688,50 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registration order is deliberate (round 6): the driver's
+    # CORRECTNESS artifact records the FIRST ~50 entries, so (a) the 18
+    # queries that had never appeared in any driver artifact (r05
+    # verdict #1 — they were entries 51-68) come first, and (b) every
+    # query whose physical plan this optimization round changed comes
+    # next, so the driver's own hash check covers the equivalence
+    # claims. Queries displaced past the window all have hash-green
+    # rows in CORRECTNESS_r01..r05. Order changes nothing else: the
+    # frozen bench iterates its own OPS_QUERIES tuple, and oracle SQL
+    # is keyed by name.
     return {
+        # --- never driver-verified before this round ---
+        "rect_overlap": q_rect_overlap,
+        "simplify_lines": q_simplify_lines,
+        "snap_to_road": q_snap_to_road,
+        "phash_near_dup": q_phash_near_dup,
+        "phash_dedup_groups": q_phash_dedup_groups,
+        "image_channel_stats": q_image_channel_stats,
+        "image_ref_distortion": q_image_ref_distortion,
+        "repetition_filter": q_repetition_filter,
+        "bm25_rank": q_bm25_rank,
+        "semantic_dedup": q_semantic_dedup,
+        "stratified_sample": q_stratified_sample,
+        "frequency_cap": q_frequency_cap,
+        "token_rarity": q_token_rarity,
+        "pii_redact": q_pii_redact,
+        "text_normalize": q_text_normalize,
+        "reshard_train": q_reshard_train,
+        "corpus_mix": q_corpus_mix,
+        "incremental_dedup": q_incremental_dedup,
+        # --- plans changed by the round-6 optimizations ---
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_groups": q_dedup_groups,
+        "near_dup_curate": q_near_dup_curate,
+        "minhash_near_dup": q_minhash_near_dup,
+        "contamination": q_contamination,
+        "curate_corpus": q_curate_corpus,
+        "normalize_buildings": q_normalize_buildings,
+        "assemble_buildings": q_assemble_buildings,
+        "payload_normalize_tile": q_payload_normalize_tile,
+        "keep_n_features": q_keep_n_features,
+        "mvt_tiles": q_mvt_tiles,
+        # --- unchanged, long driver-verified ---
         "pricing_summary": q_pricing_summary,
         "first_match_classify": q_first_match_classify,
         "lookup_threshold": q_lookup_threshold,
@@ -1705,27 +1748,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "hash_split": q_hash_split,
         "hash_sample": q_hash_sample,
-        "contamination": q_contamination,
-        "curate_corpus": q_curate_corpus,
         "events_window": q_events_window,
         "quantize_clamp": q_quantize_clamp,
-        "minhash_near_dup": q_minhash_near_dup,
-        "simhash": q_simhash,
+        "route_networks": q_route_networks,
+        "gate_min_zoom": q_gate_min_zoom,
         "cosine_topk": q_cosine_topk,
         "ann_recall": q_ann_recall,
         "ivf_ann": q_ivf_ann,
         "pq_ann": q_pq_ann,
         "skew_tile_join": q_skew_tile_join,
-        "dedup_groups": q_dedup_groups,
-        "near_dup_curate": q_near_dup_curate,
-        "ngram_jaccard": q_ngram_jaccard,
-        "route_networks": q_route_networks,
-        "gate_min_zoom": q_gate_min_zoom,
-        "normalize_buildings": q_normalize_buildings,
-        "assemble_buildings": q_assemble_buildings,
-        "payload_normalize_tile": q_payload_normalize_tile,
-        "keep_n_features": q_keep_n_features,
-        "mvt_tiles": q_mvt_tiles,
         "geojson_roundtrip": q_geojson_roundtrip,
         "osmxml_roundtrip": q_osmxml_roundtrip,
         "osmpbf_roundtrip": q_osmpbf_roundtrip,
@@ -1739,24 +1770,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "radius_join": q_radius_join,
         "tile_pyramid": q_tile_pyramid,
-        "rect_overlap": q_rect_overlap,
-        "image_channel_stats": q_image_channel_stats,
-        "simplify_lines": q_simplify_lines,
-        "phash_near_dup": q_phash_near_dup,
-        "snap_to_road": q_snap_to_road,
-        "repetition_filter": q_repetition_filter,
-        "bm25_rank": q_bm25_rank,
-        "semantic_dedup": q_semantic_dedup,
-        "stratified_sample": q_stratified_sample,
-        "frequency_cap": q_frequency_cap,
-        "token_rarity": q_token_rarity,
-        "image_ref_distortion": q_image_ref_distortion,
-        "phash_dedup_groups": q_phash_dedup_groups,
-        "pii_redact": q_pii_redact,
-        "text_normalize": q_text_normalize,
-        "reshard_train": q_reshard_train,
-        "corpus_mix": q_corpus_mix,
-        "incremental_dedup": q_incremental_dedup,
     }
 
 
