@@ -78,7 +78,12 @@ class NormalizeEngine:
         return out
 
     def _stage_cut(
-        self, df: DataFrame, name: str, eager: bool, default_mode: str = "local"
+        self,
+        df: DataFrame,
+        name: str,
+        eager: bool,
+        default_mode: str = "local",
+        partition_by: str | None = None,
     ) -> DataFrame:
         """Materialize a stage boundary and truncate the plan.
 
@@ -171,7 +176,17 @@ class NormalizeEngine:
                     deep=os.environ.get("OSMZEN_CHECKPOINT_DEEP", "") == "1",
                 )
                 return out.drop("__bucket")
-            df.write.mode("overwrite").parquet(path)
+            writer = df.write.mode("overwrite")
+            if partition_by is not None and partition_by in df.columns:
+                # partition the checkpoint on the downstream branch key:
+                # every consumer filters `partition_by = <value>` (the
+                # per-layer views + postprocess join sides — 13 scans
+                # for the full config), so directory partition pruning
+                # turns 13 full-table reads into 13 single-partition
+                # reads. This is exactly the Iceberg partition-pruned
+                # stage table of the cluster design (guide §6).
+                writer = writer.partitionBy(partition_by)
+            writer.parquet(path)
             return df.sparkSession.read.parquet(path)
         out = df.localCheckpoint(eager=eager)
         self._local_ckpts.append(out)
@@ -359,7 +374,11 @@ class NormalizeEngine:
                 )
                 if cache:
                     union = self._stage_cut(
-                        union, "eval_union", eager=True, default_mode=ckpt_mode
+                        union,
+                        "eval_union",
+                        eager=True,
+                        default_mode=ckpt_mode,
+                        partition_by="zen_layer",
                     )
                 input_cols = derived.columns + (
                     ["area", "length", "clon", "clat"] if fuse else []
