@@ -1420,6 +1420,9 @@ def _phash_pair_frame(spark, sf_dir):
 
     li = _lineitem(spark, sf_dir)
     k = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long")
+    # NOTE: the distinct is load-bearing — this synthetic lineitem
+    # carries duplicate (l_orderkey, l_linenumber) rows (verified:
+    # dropping it doubles the pair rows at sf0.01), so k is NOT unique.
     ks = li.select(k.alias("k")).distinct()
     ph = (
         F.pmod(F.col("k") * 2246822519, F.lit(2147483648)) * F.lit(4294967296)
