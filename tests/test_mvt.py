@@ -98,6 +98,73 @@ def test_encode_varints_matches_scalar():
     assert encode_varints(np.array([], dtype=np.uint64)) == b""
 
 
+def test_encode_commands_batch_matches_per_feature():
+    """The whole-batch command encoder must emit the same bytes as a
+    per-feature scalar build for every geometry class and edge shape:
+    multi-ring chains (cursor never resets), polygon endpoint trim,
+    sub-2-point ring drops, an all-rings-dropped feature (empty
+    bytes), a zero-point point feature, and a declared ring length
+    exceeding the feature's points (silent truncation)."""
+    from osmzen_spark.sinks.mvt import (
+        _commands_path,
+        _commands_point,
+        _encode_commands_batch,
+        encode_varints,
+    )
+
+    # (gcode name, ring point lists)
+    feats = [
+        ("Point", [[(5, 7)]]),
+        ("Point", [[(1, 2)], [(3, 4)], [(9, 9)]]),  # multipoint via rings
+        ("Point", [[]]),  # zero points -> MoveTo 0
+        ("LineString", [[(0, 0), (10, 5), (4, 4)]]),
+        ("MultiLineString", [[(1, 1), (2, 2)], [(8, 8), (9, 1), (0, 0)]]),
+        ("Polygon", [[(0, 0), (4, 0), (4, 4), (0, 0)]]),  # closed -> trimmed
+        ("Polygon", [[(0, 0), (4, 0), (4, 4)]]),  # open -> kept as-is
+        ("MultiPolygon", [[(1, 1)], [(0, 0), (5, 0), (5, 5), (0, 0)]]),  # 1-pt drop
+        ("Polygon", [[(3, 3)]]),  # all rings drop -> empty bytes
+    ]
+    gx, gy, offs, rl_l, gcodes = [], [], [0], [], []
+    for gt, rings in feats:
+        pts = [p for r in rings for p in r]
+        gx += [p[0] for p in pts]
+        gy += [p[1] for p in pts]
+        offs.append(offs[-1] + len(pts))
+        rl_l.append(np.array([len(r) for r in rings], dtype=np.int64))
+        gcodes.append(3 if gt.endswith("Polygon") else 2 if gt.endswith("LineString") else 1)
+    # truncation case: declared ring longer than the feature's points
+    feats.append(("LineString", [[(2, 2), (6, 6), (1, 9)]]))
+    gx += [2, 6, 1]
+    gy += [2, 6, 9]
+    offs.append(offs[-1] + 3)
+    rl_l.append(np.array([5], dtype=np.int64))
+    gcodes.append(2)
+
+    got = _encode_commands_batch(
+        np.array(gx, dtype=np.int64),
+        np.array(gy, dtype=np.int64),
+        np.array(offs, dtype=np.int64),
+        np.array(gcodes, dtype=np.int8),
+        rl_l,
+    )
+
+    for i, (gt, rings) in enumerate(feats):
+        npts = offs[i + 1] - offs[i]
+        fx = gx[offs[i] : offs[i + 1]]
+        fy = gy[offs[i] : offs[i + 1]]
+        if gcodes[i] == 1:
+            cmds = _commands_point(list(zip(fx, fy)))
+        else:
+            # rebuild rings with the sink's truncation semantics
+            cut, roff = [], 0
+            for ln in rl_l[i]:
+                cut.append(list(zip(fx[roff : roff + ln], fy[roff : roff + ln])))
+                roff += ln
+            cmds = _commands_path(cut, close=(gcodes[i] == 3))
+        want = encode_varints(np.array(cmds, dtype=np.uint64))
+        assert got[i] == want, (i, gt)
+
+
 def test_spark_mvt_sink_byte_parity_with_scalar(spark):
     """The vectorized mapInPandas sink must produce byte-identical
     blobs to the scalar reference (old per-point projection + interned
